@@ -1,0 +1,176 @@
+"""Attention / transformer blocks with quantization hooks.
+
+Diffusers-parity structure (names match the reference arch dump so
+per-layer bit YAMLs apply verbatim):
+
+* ``Attention`` — to_q/to_k/to_v/to_out.0 projections as QDense, optional
+  q/k/v/softmax activation quantizers (the reference attaches bare
+  ``ActQuantizer`` modules ``act_quantizer_{q,k,v,softmax}``,
+  quant_block.py:213-233), and BoS-aware cross-attention: the first text
+  token (huge-magnitude BoS embedding) routes through the FP path while
+  the rest quantize (quant_block.py:600-625).
+* ``FeedForward`` — GEGLU (``ff.net.0.proj`` + ``ff.net.2``).
+* ``BasicTransformerBlock`` — attn1 (self) / attn2 (cross) / ff with
+  pre-LayerNorms.
+* ``Transformer2DModel`` — GroupNorm + (linear|conv) proj_in/out around the
+  block stack.
+
+The attention math itself is a single fused-softmax einsum chain — XLA
+maps it onto the MXU; no manual head-batching like the reference's
+``head_to_batch_dim`` bmm path (quant_block.py:628-636) is needed.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..quant.state import QuantCtx
+from .layers import QAct, QDense
+
+
+class Attention(nn.Module):
+    """Multi-head attention with quantizable projections."""
+
+    query_dim: int
+    heads: int
+    head_dim: int
+    cross_attention_dim: Optional[int] = None  # None => self-attention
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden_states, encoder_hidden_states=None,
+                 ctx: QuantCtx = QuantCtx()):
+        inner = self.heads * self.head_dim
+        is_cross = encoder_hidden_states is not None
+        kv_input = encoder_hidden_states if is_cross else hidden_states
+
+        q = QDense(inner, use_bias=False, dtype=self.dtype, name="to_q")(
+            hidden_states, ctx)
+        # BoS protection applies to cross-attn k/v over text embeddings
+        # (quant_block.py:585-625).
+        k = QDense(inner, use_bias=False, dtype=self.dtype, name="to_k")(
+            kv_input, ctx, bos_aware=is_cross)
+        v = QDense(inner, use_bias=False, dtype=self.dtype, name="to_v")(
+            kv_input, ctx, bos_aware=is_cross)
+
+        if ctx.qkv_quant:
+            q = QAct(name="act_quantizer_q")(q, ctx)
+            k = QAct(name="act_quantizer_k")(k, ctx)
+            v = QAct(name="act_quantizer_v")(v, ctx)
+
+        B, Tq, _ = q.shape
+        Tk = k.shape[1]
+        q = q.reshape(B, Tq, self.heads, self.head_dim)
+        k = k.reshape(B, Tk, self.heads, self.head_dim)
+        v = v.reshape(B, Tk, self.heads, self.head_dim)
+
+        scale = self.head_dim**-0.5
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
+        probs = nn.softmax(logits.astype(jnp.float32), axis=-1).astype(self.dtype)
+        if ctx.qkv_quant and ctx.softmax_aq is not None:
+            probs = QAct(softmax=True, name="act_quantizer_softmax")(probs, ctx)
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(B, Tq, inner)
+
+        out = QDense(self.query_dim, dtype=self.dtype, name="to_out_0")(out, ctx)
+        return out
+
+
+class GEGLU(nn.Module):
+    inner_dim: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, ctx: QuantCtx = QuantCtx()):
+        h = QDense(self.inner_dim * 2, dtype=self.dtype, name="proj")(x, ctx)
+        h, gate = jnp.split(h, 2, axis=-1)
+        return h * nn.gelu(gate, approximate=False)
+
+
+class FeedForward(nn.Module):
+    dim: int
+    mult: int = 4
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, ctx: QuantCtx = QuantCtx()):
+        inner = self.dim * self.mult
+        x = GEGLU(inner, dtype=self.dtype, name="net_0")(x, ctx)
+        x = QDense(self.dim, dtype=self.dtype, name="net_2")(x, ctx)
+        return x
+
+
+class BasicTransformerBlock(nn.Module):
+    dim: int
+    heads: int
+    head_dim: int
+    cross_attention_dim: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden_states, encoder_hidden_states,
+                 ctx: QuantCtx = QuantCtx()):
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(hidden_states)
+        hidden_states = hidden_states + Attention(
+            self.dim, self.heads, self.head_dim, dtype=self.dtype, name="attn1"
+        )(h, None, ctx)
+
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(hidden_states)
+        hidden_states = hidden_states + Attention(
+            self.dim, self.heads, self.head_dim,
+            cross_attention_dim=self.cross_attention_dim,
+            dtype=self.dtype, name="attn2",
+        )(h, encoder_hidden_states, ctx)
+
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(hidden_states)
+        hidden_states = hidden_states + FeedForward(self.dim, dtype=self.dtype, name="ff")(h, ctx)
+        return hidden_states
+
+
+class Transformer2DModel(nn.Module):
+    """Spatial transformer: NHWC feature map -> tokens -> blocks -> map."""
+
+    in_channels: int
+    heads: int
+    head_dim: int
+    num_layers: int
+    cross_attention_dim: int
+    use_linear_projection: bool = True
+    norm_num_groups: int = 32
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden_states, encoder_hidden_states,
+                 ctx: QuantCtx = QuantCtx()):
+        from .layers import QConv  # local import to avoid cycle at module load
+
+        B, H, W, C = hidden_states.shape
+        inner = self.heads * self.head_dim
+        residual = hidden_states
+
+        h = nn.GroupNorm(num_groups=self.norm_num_groups, epsilon=1e-6,
+                         dtype=self.dtype, name="norm")(hidden_states)
+        if self.use_linear_projection:
+            h = h.reshape(B, H * W, C)
+            h = QDense(inner, dtype=self.dtype, name="proj_in")(h, ctx)
+        else:
+            h = QConv(inner, kernel_size=(1, 1), padding=0, dtype=self.dtype,
+                      name="proj_in")(h, ctx)
+            h = h.reshape(B, H * W, inner)
+
+        for i in range(self.num_layers):
+            h = BasicTransformerBlock(
+                inner, self.heads, self.head_dim, self.cross_attention_dim,
+                dtype=self.dtype, name=f"transformer_blocks_{i}",
+            )(h, encoder_hidden_states, ctx)
+
+        if self.use_linear_projection:
+            h = QDense(self.in_channels, dtype=self.dtype, name="proj_out")(h, ctx)
+            h = h.reshape(B, H, W, self.in_channels)
+        else:
+            h = h.reshape(B, H, W, inner)
+            h = QConv(self.in_channels, kernel_size=(1, 1), padding=0,
+                      dtype=self.dtype, name="proj_out")(h, ctx)
+        return h + residual

@@ -1,0 +1,190 @@
+"""Quant-aware Flax primitives: QDense, QConv, QAct.
+
+TPU-native counterpart of the reference's ``QuantLayer`` wrapper
+(quant_layer.py:14-115). Instead of wrapping torch modules post-hoc, every
+Conv/Linear in our models *is* one of these modules; quantization behavior
+is driven entirely by the ``QuantCtx`` argument (see
+``mixdq_tpu/quant/state.py``), so the same compiled graph serves FP,
+stats-collection, and any per-layer fake-quant configuration.
+
+Layouts are TPU-native: activations NHWC, conv kernels HWIO, dense kernels
+[in, out]; per-channel weight quant runs over the output-channel (last)
+axis — the same channel set as the reference's torch OIHW dim 0.
+
+Channel-split (quant_layer.py:74-87): a conv whose input is a
+``concat([h, skip])`` quantizes the two halves with separate scale pairs.
+Here ``split`` is a static call argument supplied by the up-block forward
+(quant_block_forward_func.py:97-99) and the twin qparams live in the same
+``LayerQParams`` node (``w0_*``/``a0_*``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..quant.state import QuantCtx, canonical_name
+
+
+def _minmax_reduce(old, new):
+    if old == ():  # linen sow init value
+        return new
+    return (jnp.minimum(old[0], new[0]), jnp.maximum(old[1], new[1]))
+
+
+def _sow_act_stats(mod: nn.Module, name: str, x: jnp.ndarray, suffix: str = ""):
+    """Record per-tensor activation min/max (clamped to contain 0,
+    base_quantizer.py:155-158) into the 'quant_stats' collection."""
+    xf = x.astype(jnp.float32)
+    mn = jnp.minimum(jnp.min(xf), 0.0)
+    mx = jnp.maximum(jnp.max(xf), 0.0)
+    mod.sow("quant_stats", name + suffix, (mn, mx), reduce_fn=_minmax_reduce)
+
+
+class QDense(nn.Module):
+    """Quant-aware linear layer (reference QuantLayer over nn.Linear).
+
+    ``bos_aware_axis``: if set (to the token axis) and ``ctx.bos_aware``,
+    the first token goes through the FP path while the rest are quantized
+    — MixDQ's BoS protection for cross-attn k/v projections
+    (quant_block.py:600-625).
+    """
+
+    features: int
+    use_bias: bool = True
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, ctx: QuantCtx = QuantCtx(), bos_aware: bool = False):
+        name = canonical_name(self.path)
+        in_features = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (in_features, self.features),
+            self.param_dtype,
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,), self.param_dtype)
+            if self.use_bias
+            else None
+        )
+        if ctx.collect_stats:
+            _sow_act_stats(self, name, x)
+
+        kernel = kernel.astype(self.dtype)
+        x = x.astype(self.dtype)
+
+        if ctx.mode == "fake":
+            xq = ctx.quant_act(name, x)
+            kq = ctx.quant_weight(name, kernel, channel_axis=-1)
+            if bos_aware and ctx.bos_aware and x.ndim >= 3:
+                # FP first token, quant rest (quant_block.py:600-625).
+                y_fp0 = jnp.dot(x[..., :1, :], kernel)
+                y_q = jnp.dot(xq[..., 1:, :], kq)
+                y = jnp.concatenate([y_fp0, y_q], axis=-2)
+            else:
+                y = jnp.dot(xq, kq)
+        else:
+            y = jnp.dot(x, kernel)
+
+        if bias is not None:
+            y = y + bias.astype(self.dtype)
+        return y
+
+
+class QConv(nn.Module):
+    """Quant-aware 2D convolution, NHWC/HWIO (reference QuantLayer over
+    nn.Conv2d). ``padding`` follows torch semantics (symmetric int pad)."""
+
+    features: int
+    kernel_size: Tuple[int, int] = (3, 3)
+    strides: Tuple[int, int] = (1, 1)
+    padding: Union[int, Tuple[int, int]] = 0
+    use_bias: bool = True
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, ctx: QuantCtx = QuantCtx(), split: int = 0):
+        name = canonical_name(self.path)
+        in_features = x.shape[-1]
+        kh, kw = self.kernel_size
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (kh, kw, in_features, self.features), self.param_dtype,
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,), self.param_dtype)
+            if self.use_bias
+            else None
+        )
+        if ctx.collect_stats:
+            if split:
+                _sow_act_stats(self, name, x[..., :split])
+                _sow_act_stats(self, name, x[..., split:], suffix=".split")
+            else:
+                _sow_act_stats(self, name, x)
+
+        kernel = kernel.astype(self.dtype)
+        x = x.astype(self.dtype)
+
+        if ctx.mode == "fake":
+            if split:
+                # Two scale sets over the channel-concat input
+                # (quant_layer.py:74-87); weight split over input channels
+                # (HWIO axis 2, the torch dim-1 equivalent).
+                x0 = ctx.quant_act(name, x[..., :split])
+                x1 = ctx.quant_act(name, x[..., split:], split_part=1)
+                xq = jnp.concatenate([x0, x1], axis=-1)
+                k0 = ctx.quant_weight(name, kernel[:, :, :split, :], channel_axis=-1)
+                k1 = ctx.quant_weight(
+                    name, kernel[:, :, split:, :], channel_axis=-1, split_part=1
+                )
+                kq = jnp.concatenate([k0, k1], axis=2)
+            else:
+                xq = ctx.quant_act(name, x)
+                kq = ctx.quant_weight(name, kernel, channel_axis=-1)
+            y = self._conv(xq, kq)
+        else:
+            y = self._conv(x, kernel)
+
+        if bias is not None:
+            y = y + bias.astype(self.dtype)
+        return y
+
+    def _conv(self, x, kernel):
+        pad = self.padding
+        if isinstance(pad, int):
+            pad = (pad, pad)
+        pads = [(pad[0], pad[0]), (pad[1], pad[1])]
+        return jax.lax.conv_general_dilated(
+            x, kernel,
+            window_strides=self.strides,
+            padding=pads,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+
+class QAct(nn.Module):
+    """Standalone activation quantizer (the reference's bare ``ActQuantizer``
+    modules attached for q/k/v/softmax tensors, quant_block.py:213-233).
+
+    The module's own path is the layer name (e.g.
+    ``...attn1.act_quantizer_q``), matching reference checkpoint keys.
+    ``softmax=True`` selects the always-zero softmax spec.
+    """
+
+    softmax: bool = False
+
+    @nn.compact
+    def __call__(self, x, ctx: QuantCtx = QuantCtx()):
+        name = canonical_name(self.path)
+        if ctx.collect_stats:
+            _sow_act_stats(self, name, x)
+        if ctx.mode != "fake":
+            return x
+        spec = ctx.softmax_aq if (self.softmax and ctx.softmax_aq is not None) else ctx.aq
+        return ctx.quant_act(name, x, spec=spec)
