@@ -117,7 +117,8 @@ TINY_SDXL_UNET = UNetConfig(
     transformer_layers_per_block=(1, 2),
     num_attention_heads=(2, 2),
     attention_head_dim=16,
-    cross_attention_dim=64,
+    # dual tiny encoders concat: 64 + 64 (SDXL: 768 + 1280 = 2048)
+    cross_attention_dim=128,
     addition_time_embed_dim=32,
     projection_class_embeddings_input_dim=32 * 6 + 64,  # 6 time_ids + pooled(64)
     norm_num_groups=16,
@@ -146,7 +147,8 @@ TINY_CLIP_2 = CLIPTextConfig(
     vocab_size=1000, hidden_size=64, num_layers=2, num_heads=2,
     intermediate_size=128, max_position_embeddings=77, projection_dim=64,
 )
-TINY_VAE = VAEConfig(block_out_channels=(16, 32), layers_per_block=1,
+# 4 blocks => the standard 8x spatial factor between pixels and latents
+TINY_VAE = VAEConfig(block_out_channels=(8, 8, 16, 16), layers_per_block=1,
                      norm_num_groups=8)
 
 
