@@ -1,0 +1,123 @@
+#!/usr/bin/env python
+"""Benchmark: SDXL-Turbo UNet step latency, quantized vs bf16, on the
+available accelerator (TPU).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
+value = quantized UNet ms/step and vs_baseline = bf16_ms / quant_ms
+(speedup over the bf16 baseline on the same hardware — the reference's
+headline is W8A8 1.27-1.45x over FP16 on GPUs, README.md:48-53; the TPU
+north star is >=1.3x, BASELINE.json).
+
+Extra detail lines go to stderr so stdout stays one JSON line.
+
+Env knobs: MIXDQ_BENCH_FAMILY (default sdxl-turbo), MIXDQ_BENCH_BATCH
+(default 1), MIXDQ_BENCH_BACKEND (int8|fake, default int8 when kernels
+available), MIXDQ_BENCH_ITERS (default 20).
+"""
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    family_name = os.environ.get("MIXDQ_BENCH_FAMILY", "sdxl-turbo")
+    B = int(os.environ.get("MIXDQ_BENCH_BATCH", "1"))
+    iters = int(os.environ.get("MIXDQ_BENCH_ITERS", "20"))
+    backend = os.environ.get("MIXDQ_BENCH_BACKEND", "auto")
+
+    from mixdq_tpu.models.configs import get_family
+    from mixdq_tpu.models.unet import UNet2DConditionModel
+    from mixdq_tpu.quant import calibrate as cal
+    from mixdq_tpu.quant.core import QuantSpec
+    from mixdq_tpu.quant.state import QuantCtx, quantizable_layers, uniform_ctrl
+
+    f = get_family(family_name)
+    dtype = jnp.bfloat16
+    unet = UNet2DConditionModel(f.unet, dtype=dtype)
+    H = f.unet.sample_size
+    k = jax.random.PRNGKey(0)
+    sample = jax.random.normal(k, (B, H, H, f.unet.in_channels), dtype)
+    t = jnp.asarray(999.0)
+    ehs = jax.random.normal(k, (B, 77, f.unet.cross_attention_dim), dtype)
+    added = None
+    if f.unet.addition_embed_type == "text_time":
+        pooled = (f.text_encoder_2.projection_dim
+                  if f.text_encoder_2 is not None else 1280)
+        added = {"text_embeds": jnp.zeros((B, pooled), dtype),
+                 "time_ids": jnp.zeros((B, 6), dtype)}
+
+    log(f"bench: {family_name} B={B} on {jax.devices()[0]}")
+    t0 = time.time()
+    variables = jax.jit(unet.init)(jax.random.PRNGKey(0), sample, t, ehs, added)
+    jax.block_until_ready(variables)
+    log(f"init: {time.time()-t0:.1f}s")
+
+    def timeit(fn, *args):
+        out = fn(*args)  # compile
+        jax.block_until_ready(out)
+        # warmup
+        for _ in range(3):
+            jax.block_until_ready(fn(*args))
+        t0 = time.time()
+        for _ in range(iters):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        return (time.time() - t0) / iters * 1000.0
+
+    # bf16 baseline
+    fp_fn = jax.jit(lambda v, s, tt, e, a: unet.apply(v, s, tt, e, a))
+    fp_ms = timeit(fp_fn, variables, sample, t, ehs, added)
+    log(f"bf16 UNet: {fp_ms:.2f} ms/step")
+
+    # quantized path
+    wq = QuantSpec(sym=True, channel_wise=True, round_mode="nearest")
+    aq = QuantSpec(running_stat=True)
+    names = quantizable_layers(variables["params"])
+    qparams = cal.calibrate(unet, variables, [(sample, t, ehs, added)], wq, aq)
+    ctrl = uniform_ctrl(names, w_bits=8, a_bits=8)
+
+    if backend == "auto":
+        try:
+            from mixdq_tpu.quant.deploy import deploy_unet_ctx  # noqa: F401
+            backend = "int8"
+        except Exception:
+            backend = "fake"
+
+    if backend == "int8":
+        from mixdq_tpu.quant.deploy import deploy_unet_ctx
+        ctx = deploy_unet_ctx(unet, variables, qparams, ctrl, wq, aq)
+    else:
+        ctx = QuantCtx(qparams=qparams, ctrl=ctrl, mode="fake", wq=wq, aq=aq)
+
+    q_fn = jax.jit(lambda v, c, s, tt, e, a: unet.apply(v, s, tt, e, a, c))
+    q_ms = timeit(q_fn, variables, ctx, sample, t, ehs, added)
+    log(f"{backend} UNet: {q_ms:.2f} ms/step")
+
+    mem = None
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        mem = stats.get("peak_bytes_in_use", 0) / 1e6
+        log(f"peak HBM: {mem:.0f} MB")
+    except Exception:
+        pass
+
+    print(json.dumps({
+        "metric": f"{family_name} UNet W8A8({backend}) ms/step (B={B})",
+        "value": round(q_ms, 2),
+        "unit": "ms",
+        "vs_baseline": round(fp_ms / q_ms, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
