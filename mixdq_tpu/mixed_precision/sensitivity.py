@@ -1,0 +1,123 @@
+"""Per-layer sensitivity sweeps, metric-decoupled.
+
+Reference: mixed_precision_scripts/get_sensitivity/sdxl_turbo/
+{quant_content,quant_quality}.py — for every (layer, bit) pair, quantize
+*only that layer* and measure either
+
+* SQNR of the UNet output vs saved FP outputs ("quality" layers — all
+  except ff/attn2, quant_quality.py:53-84, 275-301), or
+* SSIM of generated images vs FP reference images ("content" layers —
+  names containing ``ff`` or ``attn2``, quant_content.py:193-251).
+
+The reference re-runs Python module surgery per (layer, bit); here the
+per-layer controls are jit *arguments* (solo_layer_ctrl), so the whole
+sweep reuses ONE compiled UNet — |layers| x |bits| device calls, which
+also data-parallelize trivially over a dp mesh.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..quant.state import QuantCtx, solo_layer_ctrl
+from ..utils.metrics import sqnr, ssim
+
+logger = logging.getLogger(__name__)
+
+
+def split_metric_groups(names: Iterable[str]) -> Tuple[List[str], List[str]]:
+    """(content, quality) split: ff/attn2 layers are 'content'
+    (quant_content.py main loop; mixed_precision_search.md)."""
+    content, quality = [], []
+    for n in names:
+        if ".ff." in n or ".attn2." in n:
+            content.append(n)
+        else:
+            quality.append(n)
+    return content, quality
+
+
+def sweep_sqnr(
+    model,
+    variables,
+    qparams,
+    layer_names: Sequence[str],
+    all_names: Sequence[str],
+    calib_batch: Tuple,
+    fp_outputs: jnp.ndarray,
+    wq,
+    aq,
+    which: str = "weight",
+    bits: Sequence[int] = (2, 4, 8),
+) -> Dict[str, List[float]]:
+    """SQNR sensitivity for each (layer, bit): higher = less sensitive."""
+
+    @jax.jit
+    def run(ctrl, *batch):
+        ctx = QuantCtx(qparams=qparams, ctrl=ctrl, mode="fake", wq=wq, aq=aq)
+        out = model.apply(variables, *batch, ctx)
+        return sqnr(fp_outputs, out)
+
+    out: Dict[str, List[float]] = {}
+    for li, name in enumerate(layer_names):
+        vals = []
+        for b in bits:
+            ctrl = solo_layer_ctrl(all_names, name, which, b,
+                                   candidate_bits=wq.candidate_bits)
+            vals.append(float(run(ctrl, *calib_batch)))
+        out[name] = vals
+        if li % 20 == 0:
+            logger.info("sqnr sweep %d/%d %s -> %s", li, len(layer_names),
+                        name, [f"{v:.1f}" for v in vals])
+    return out
+
+
+def sweep_ssim(
+    pipe,
+    params,
+    qparams,
+    layer_names: Sequence[str],
+    all_names: Sequence[str],
+    prompts: Sequence[str],
+    key: jax.Array,
+    wq,
+    aq,
+    which: str = "weight",
+    bits: Sequence[int] = (2, 4, 8),
+    num_steps: Optional[int] = None,
+    ssim_win: int = 255,
+) -> Dict[str, List[float]]:
+    """SSIM sensitivity: generate images with only one layer quantized and
+    compare against the FP images (quant_content.py:218-251; the reference
+    uses win_size 511 on 512px images, we default to 255 to stay valid on
+    any image size — behavior matches for its win<=H constraint)."""
+    fp = pipe(params, prompts, key, num_inference_steps=num_steps)
+    fp_imgs = jnp.asarray(fp.images)
+    win = min(ssim_win, fp_imgs.shape[1] - 1)
+    if win % 2 == 0:
+        win -= 1
+
+    out: Dict[str, List[float]] = {}
+    for li, name in enumerate(layer_names):
+        vals = []
+        for b in bits:
+            ctrl = solo_layer_ctrl(all_names, name, which, b,
+                                   candidate_bits=wq.candidate_bits)
+            ctx = QuantCtx(qparams=qparams, ctrl=ctrl, mode="fake",
+                           wq=wq, aq=aq)
+            q = pipe(params, prompts, key, num_inference_steps=num_steps,
+                     ctx=ctx)
+            q_imgs = jnp.asarray(q.images)
+            s = jnp.mean(jnp.asarray(
+                [ssim(fp_imgs[i], q_imgs[i], win_size=win)
+                 for i in range(len(prompts))]))
+            vals.append(float(s))
+        out[name] = vals
+        if li % 10 == 0:
+            logger.info("ssim sweep %d/%d %s -> %s", li, len(layer_names),
+                        name, [f"{v:.3f}" for v in vals])
+    return out

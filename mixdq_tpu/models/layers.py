@@ -62,14 +62,38 @@ class QDense(nn.Module):
     def __call__(self, x, ctx: QuantCtx = QuantCtx(), bos_aware: bool = False):
         name = canonical_name(self.path)
         in_features = x.shape[-1]
-        kernel = self.param(
-            "kernel", nn.initializers.lecun_normal(), (in_features, self.features),
-            self.param_dtype,
-        )
         bias = (
             self.param("bias", nn.initializers.zeros, (self.features,), self.param_dtype)
             if self.use_bias
             else None
+        )
+
+        # Real int8 path: fp kernel param is pruned (deploy replaces it) —
+        # the source of the static-memory saving (quant/deploy.py).
+        dp = (ctx.deploy.get(name) if (ctx.mode == "int8" and ctx.deploy)
+              else None)
+        if dp is not None:
+            from ..ops import qops
+
+            x = x.astype(self.dtype)
+            codes = qops.quantize_per_tensor(x, dp.scale_inv, dp.zp_shifted)
+            y = qops.qlinear(codes, dp.w_int, dp.scale, dp.bias0,
+                             out_dtype=self.dtype)
+            if bos_aware and ctx.bos_aware and x.ndim >= 3:
+                # BoS token through the dequantized-FP path (the deploy
+                # analogue of bos_pre_computed, nn/Linear.py:178-194)
+                w_fp = (dp.w_int.astype(jnp.float32)
+                        * (dp.scale * dp.scale_inv)[None, :])
+                y0 = jnp.dot(x[..., :1, :].astype(jnp.float32), w_fp)
+                y = jnp.concatenate([y0.astype(self.dtype), y[..., 1:, :]],
+                                    axis=-2)
+            if bias is not None:
+                y = y + bias.astype(self.dtype)
+            return y
+
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (in_features, self.features),
+            self.param_dtype,
         )
         if ctx.collect_stats:
             _sow_act_stats(self, name, x)
@@ -112,14 +136,23 @@ class QConv(nn.Module):
         name = canonical_name(self.path)
         in_features = x.shape[-1]
         kh, kw = self.kernel_size
-        kernel = self.param(
-            "kernel", nn.initializers.lecun_normal(),
-            (kh, kw, in_features, self.features), self.param_dtype,
-        )
         bias = (
             self.param("bias", nn.initializers.zeros, (self.features,), self.param_dtype)
             if self.use_bias
             else None
+        )
+
+        dp = (ctx.deploy.get(name) if (ctx.mode == "int8" and ctx.deploy)
+              else None)
+        if dp is not None:
+            y = self._int8_forward(x.astype(self.dtype), dp, split)
+            if bias is not None:
+                y = y + bias.astype(self.dtype)
+            return y
+
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (kh, kw, in_features, self.features), self.param_dtype,
         )
         if ctx.collect_stats:
             if split:
@@ -166,6 +199,33 @@ class QConv(nn.Module):
             padding=pads,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
+
+    def _int8_forward(self, x, dp, split):
+        """Real-quant conv (dual-conv sum for channel-split layers,
+        nn/Conv2d.py:312-347; bias applied once by the caller)."""
+        from ..ops import qops
+
+        pad = self.padding
+        if isinstance(pad, int):
+            pad = (pad, pad)
+        if dp.kind == "conv_split":
+            s = dp.split
+            p0, p1 = dp.part0, dp.part1
+            c0 = qops.quantize_per_tensor(x[..., :s], p0.scale_inv,
+                                          p0.zp_shifted)
+            c1 = qops.quantize_per_tensor(x[..., s:], p1.scale_inv,
+                                          p1.zp_shifted)
+            y0 = qops.qconv2d(c0, p0.w_int, p0.scale, p0.bias0,
+                              p0.zp_shifted, strides=self.strides,
+                              padding=pad, out_dtype=self.dtype)
+            y1 = qops.qconv2d(c1, p1.w_int, p1.scale, p1.bias0,
+                              p1.zp_shifted, strides=self.strides,
+                              padding=pad, out_dtype=self.dtype)
+            return y0 + y1
+        codes = qops.quantize_per_tensor(x, dp.scale_inv, dp.zp_shifted)
+        return qops.qconv2d(codes, dp.w_int, dp.scale, dp.bias0,
+                            dp.zp_shifted, strides=self.strides,
+                            padding=pad, out_dtype=self.dtype)
 
 
 class QAct(nn.Module):

@@ -1,0 +1,168 @@
+"""Real-quant deployment: precompute int8 weights + fused epilogue
+constants and build the int8 execution context.
+
+TPU-native counterpart of the reference's module-swap pass
+(kernels/quantize.py ``convert``/``swap_module`` +
+QuantizedLinear/QuantizedConv2d.from_float, nn/Linear.py:58-152,
+nn/Conv2d.py:92-285): instead of replacing nn.Modules, we build a
+``{layer_name: deploy_params}`` pytree and *prune the fp kernels out of
+the model params* — the quant-aware layers skip creating their kernel
+param when a deploy entry exists, so deployed weights are int8-only in
+memory (the source of the reference's 1.94x static memory saving,
+README.md:41-45).
+
+Per-layer deploy entries carry the integer-math constants
+(nn/Linear.py:115-132): ``w_int`` int8 codes, fused ``scale = s_w*s_a``,
+zero-point folding ``bias0``, and the activation quantize constants
+``scale_inv``/``zp_shifted``.
+
+Bit selection is static per deployed config (one compile per final
+mixed-precision config — the reference also rebuilds per config,
+kernels/quantize_sdxl.py:39-139); 4/2-bit weights use int8 storage and
+math exactly as the reference maps quint4x2 -> int8 compute
+(quantize_sdxl.py:46-48).
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from flax import struct
+
+from ..ops import qops
+from .core import QuantSpec
+from .state import LayerQParams, QuantCtx, canonical_name, quantizable_layers
+
+logger = logging.getLogger(__name__)
+
+
+@struct.dataclass
+class DeployEntry:
+    """Deploy constants for one layer (static ``kind``/``split``; array
+    leaves are the integer-math constants of nn/Linear.py:115-132)."""
+
+    w_int: Optional[jnp.ndarray] = None
+    scale: Optional[jnp.ndarray] = None
+    bias0: Optional[jnp.ndarray] = None
+    scale_inv: Optional[jnp.ndarray] = None
+    zp_shifted: Optional[jnp.ndarray] = None
+    part0: Optional["DeployEntry"] = None
+    part1: Optional["DeployEntry"] = None
+    kind: str = struct.field(pytree_node=False, default="linear")
+    split: int = struct.field(pytree_node=False, default=0)
+
+
+def build_deploy_params(
+    params: Dict[str, Any],
+    qparams: Dict[str, LayerQParams],
+    layer_bits: Dict[str, Tuple[int, int]],  # name -> (w_bits, a_bits)
+    candidate_bits=(2, 4, 8),
+    splits: Optional[Dict[str, int]] = None,
+) -> Dict[str, Any]:
+    """Build the deploy pytree for every layer present in ``layer_bits``
+    whose activation path is A8 (int8 acceleration gate — the reference's
+    ``valid_for_acceleration``, nn/Linear.py:28-43).
+
+    Layers not in ``layer_bits`` (or with unsupported configs) stay FP.
+    Split convs get twin entries (``w0_int`` etc., nn/Conv2d.py:189-243).
+    """
+    splits = splits or {}
+    cb = list(candidate_bits)
+    layers = quantizable_layers(params)
+    deploy: Dict[str, Any] = {}
+    for name, (w_bits, a_bits) in layer_bits.items():
+        if name not in layers or name not in qparams:
+            continue
+        if a_bits != 8:
+            continue  # int8 activation path only (reference gate)
+        qp = qparams[name]
+        if qp.w_delta is None or qp.a_delta is None:
+            continue
+        node = params
+        for p in layers[name]:
+            node = node[p]
+        w = node["kernel"]
+        wb_idx, ab_idx = cb.index(w_bits), cb.index(a_bits)
+        # 2-bit treated as 4 for storage/math (quantize_sdxl.py:46-48)
+        eff_bits = max(w_bits, 4)
+
+        def entry(prep, kind):
+            prep.pop("bias", None)
+            return DeployEntry(kind=kind, **prep)
+
+        if w.ndim == 2:
+            deploy[name] = entry(qops.prepare_qlinear_params(
+                w, qp.w_delta[wb_idx], qp.a_delta[ab_idx],
+                qp.a_zp[ab_idx], n_bits=eff_bits), "linear")
+        elif w.ndim == 4:
+            if name in splits and qp.w0_delta is not None:
+                s = splits[name]
+                d0 = entry(qops.prepare_qconv_params(
+                    w[:, :, :s, :], qp.w_delta[wb_idx], qp.a_delta[ab_idx],
+                    qp.a_zp[ab_idx], n_bits=eff_bits), "conv")
+                d1 = entry(qops.prepare_qconv_params(
+                    w[:, :, s:, :], qp.w0_delta[wb_idx], qp.a0_delta[ab_idx],
+                    qp.a0_zp[ab_idx], n_bits=eff_bits), "conv")
+                deploy[name] = DeployEntry(kind="conv_split", split=s,
+                                           part0=d0, part1=d1)
+            else:
+                deploy[name] = entry(qops.prepare_qconv_params(
+                    w, qp.w_delta[wb_idx], qp.a_delta[ab_idx],
+                    qp.a_zp[ab_idx], n_bits=eff_bits), "conv")
+    return deploy
+
+
+def prune_deployed_kernels(params: Dict[str, Any], deploy: Dict[str, Any]):
+    """Remove the fp 'kernel' leaf of every deployed layer from the params
+    tree (the int8 codes replace it)."""
+    layers = quantizable_layers(params)
+
+    def prune(node, path=()):
+        if isinstance(node, dict):
+            out = {}
+            for k, v in node.items():
+                p = path + (k,)
+                if k == "kernel" and canonical_name(path) in deploy:
+                    continue
+                out[k] = prune(v, p)
+            return out
+        return node
+
+    return prune(params)
+
+
+def uniform_layer_bits(params: Dict[str, Any], w_bits: int = 8,
+                       a_bits: int = 8) -> Dict[str, Tuple[int, int]]:
+    return {n: (w_bits, a_bits) for n in quantizable_layers(params)}
+
+
+def deploy_unet_ctx(unet, variables, qparams, ctrl, wq: QuantSpec,
+                    aq: QuantSpec, splits=None, bos_aware: bool = True,
+                    layer_bits: Optional[Dict[str, Tuple[int, int]]] = None,
+                    ) -> "QuantCtx":
+    """Build an int8-mode QuantCtx (+ pruned params inside ``.deploy``
+    consumers must fetch via ``deployed_params``). ``ctrl`` (dynamic) is
+    frozen into static per-layer bits here."""
+    params = variables["params"]
+    if layer_bits is None:
+        cb = list(wq.candidate_bits)
+        layer_bits = {}
+        for n, c in ctrl.items():
+            if bool(c.w_on) and bool(c.a_on):
+                layer_bits[n] = (cb[int(c.w_idx)], cb[int(c.a_idx)])
+    deploy = build_deploy_params(params, qparams, layer_bits,
+                                 wq.candidate_bits, splits)
+    logger.info("deployed %d/%d layers to int8", len(deploy),
+                len(quantizable_layers(params)))
+    return QuantCtx(qparams=None, ctrl=None, deploy=deploy, mode="int8",
+                    wq=wq, aq=aq, bos_aware=bos_aware)
+
+
+def deployed_params(variables, ctx: QuantCtx):
+    """Prune fp kernels of deployed layers from the variables tree."""
+    return {**variables,
+            "params": prune_deployed_kernels(variables["params"], ctx.deploy)}

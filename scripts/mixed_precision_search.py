@@ -1,0 +1,118 @@
+#!/usr/bin/env python
+"""Metric-decoupled mixed-precision search, phases 2-4.
+
+Reference flow (mixed_precision_search.md:6-40):
+  phase 2  per-layer sensitivity sweeps — SSIM for content layers
+           (ff/attn2), SQNR for the rest
+  phase 3  ILP bit allocation over a (target-bits x k) grid -> candidates
+  phase 4  candidate election by pixel MSE vs FP images
+
+Usage:
+  python scripts/mixed_precision_search.py --base_path logs/x \
+      --target_bits 5.0 [--which weight] [--n_prompts 2] [--quick]
+Outputs ``{which}_mp_config.yaml`` (the final per-layer bit map, same
+format the reference emits, e.g. final_config/weight/5.02.yaml).
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import yaml
+
+from mixdq_tpu.mixed_precision import election, ilp, sensitivity
+from mixdq_tpu.pipelines.loader import build_pipeline, specs_from_config
+from mixdq_tpu.quant.checkpoint import load_qparams
+from mixdq_tpu.quant.state import get_layer_kernel, quantizable_layers
+from mixdq_tpu.utils.config import load_config
+from mixdq_tpu.utils.logging_utils import setup_experiment
+from mixdq_tpu.utils.prompts import load_prompts
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--base_path", required=True)
+    ap.add_argument("--which", choices=["weight", "act"], default="weight")
+    ap.add_argument("--target_bits", type=float, default=5.0)
+    ap.add_argument("--n_prompts", type=int, default=2)
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--quick", action="store_true",
+                    help="limit sweep to 8 layers/group (smoke test)")
+    args = ap.parse_args()
+
+    cfg = load_config(os.path.join(args.base_path, "config.yaml"))
+    setup_experiment(args.base_path)
+    pipe, params = build_pipeline(cfg)
+    wq, aq, softmax_aq = specs_from_config(cfg)
+    qparams = load_qparams(os.path.join(args.base_path, "qparams.msgpack"))
+
+    layers = quantizable_layers(params["unet"])
+    names = sorted(layers)
+    content, quality = sensitivity.split_metric_groups(names)
+    if args.quick:
+        content, quality = content[:8], quality[:8]
+
+    sizes = {n: int(np.prod(get_layer_kernel(params["unet"], layers[n]).shape))
+             for n in names}
+    size_frac = ilp.tensor_size_fractions(sizes)
+
+    # phase 2a: SQNR over quality layers (UNet on calib inputs)
+    data = np.load(cfg.calib_data.path)
+    cb = min(8, data["xs"].shape[1])
+    calib_batch = (jnp.asarray(data["xs"][0, :cb]),
+                   jnp.asarray(data["ts"][0]),
+                   jnp.asarray(data["text_embs"][:cb]),
+                   ({"text_embeds": jnp.asarray(data["text_embeds"][:cb]),
+                     "time_ids": jnp.asarray(data["time_ids"][:cb])}
+                    if "text_embeds" in data else None))
+    fp_out = jnp.asarray(data["outputs"][0, :cb])
+    variables = {"params": params["unet"]}
+    bits_q = (4, 8)
+    sens_q = sensitivity.sweep_sqnr(
+        pipe.unet, variables, qparams, quality, names, calib_batch, fp_out,
+        wq, aq, which=args.which, bits=bits_q)
+
+    # phase 2b: SSIM over content layers (image generation)
+    prompts = load_prompts(None, args.n_prompts)
+    key = jax.random.PRNGKey(args.seed)
+    bits_c = tuple(wq.candidate_bits)
+    sens_c = sensitivity.sweep_ssim(
+        pipe, params, qparams, content, names, prompts, key, wq, aq,
+        which=args.which, bits=bits_c,
+        num_steps=cfg.inference.get("num_steps"))
+
+    # phase 3: ILP candidates over the k grid
+    candidates = ilp.metric_decoupled_allocation(
+        sens_c, sens_q, size_frac, args.target_bits,
+        bits_content=bits_c, bits_quality=bits_q)
+    print(f"{len(candidates)} ILP candidates")
+    if not candidates:
+        print("no feasible allocation; relax target_bits")
+        return
+
+    # phase 4: election by pixel MSE
+    winner, idx, mses = election.elect(
+        pipe, params, qparams, names, candidates, args.which, prompts, key,
+        wq, aq, num_steps=cfg.inference.get("num_steps"))
+    print(f"elected candidate {idx} (mse={mses[idx]:.6f})")
+
+    out_path = os.path.join(args.base_path, f"{args.which}_mp_config.yaml")
+    with open(out_path, "w") as f:
+        yaml.safe_dump({k: int(v) for k, v in winner.items()}, f)
+    sens_path = os.path.join(args.base_path,
+                             f"sensitivity_{args.which}.yaml")
+    with open(sens_path, "w") as f:
+        yaml.safe_dump({"content": {k: [float(x) for x in v]
+                                    for k, v in sens_c.items()},
+                        "quality": {k: [float(x) for x in v]
+                                    for k, v in sens_q.items()}}, f)
+    print(f"wrote {out_path} and {sens_path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,41 @@
+"""Pallas int8 matmul kernel vs integer-math oracle (interpret mode on
+CPU; the compiled path is exercised by bench.py on TPU)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mixdq_tpu.ops.pallas_qmatmul import qmatmul
+
+
+@pytest.mark.parametrize("M,K,N", [(64, 128, 128), (100, 300, 260)])
+def test_qmatmul_interpret_matches_oracle(M, K, N):
+    rng = np.random.RandomState(0)
+    x = rng.randint(-128, 128, (M, K)).astype(np.int8)
+    w = rng.randint(-128, 128, (K, N)).astype(np.int8)
+    scale = (rng.rand(N).astype(np.float32) + 0.1) * 0.01
+    zp_s = np.float32(-5.0)
+    bias0 = zp_s * w.astype(np.int64).sum(0).astype(np.float32)
+    bias = rng.randn(N).astype(np.float32)
+
+    got = qmatmul(jnp.asarray(x), jnp.asarray(w), jnp.asarray(scale),
+                  jnp.asarray(bias0), jnp.asarray(bias),
+                  bm=32, bn=128, bk=128, out_dtype=jnp.float32,
+                  interpret=True)
+    want = (x.astype(np.int64) @ w.astype(np.int64) - bias0).astype(
+        np.float64) * scale + bias
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-2)
+
+
+def test_qmatmul_no_bias():
+    rng = np.random.RandomState(1)
+    M, K, N = 32, 128, 128
+    x = rng.randint(-128, 128, (M, K)).astype(np.int8)
+    w = rng.randint(-128, 128, (K, N)).astype(np.int8)
+    scale = np.full(N, 0.01, np.float32)
+    bias0 = np.zeros(N, np.float32)
+    got = qmatmul(jnp.asarray(x), jnp.asarray(w), jnp.asarray(scale),
+                  jnp.asarray(bias0), None, bm=32, bn=128, bk=128,
+                  out_dtype=jnp.float32, interpret=True)
+    want = (x.astype(np.int64) @ w.astype(np.int64)).astype(np.float64) * scale
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-2)

@@ -1,0 +1,146 @@
+"""Int8 op tests against pure integer-math oracles (the reference's
+self-test strategy, kernels/mixdq_extension/op/qlinear.py:66-108 and
+op/qconv2d.py:25-123, rebuilt as numpy oracles) plus end-to-end int8
+deploy parity vs the fake-quant simulation."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mixdq_tpu.ops import qops
+from mixdq_tpu.utils.metrics import sqnr
+
+
+def np_qlinear_oracle(x_int, w_int, scale, bias0, bias=None):
+    acc = x_int.astype(np.int64) @ w_int.astype(np.int64)
+    out = (acc - bias0).astype(np.float64) * scale
+    if bias is not None:
+        out = out + bias
+    return out
+
+
+def test_quantize_per_tensor():
+    x = jnp.asarray([[0.0, 0.1, -0.1, 12.7, -12.9, 100.0]])
+    codes = qops.quantize_per_tensor(x, jnp.float32(10.0), jnp.float32(-1.0))
+    np.testing.assert_array_equal(
+        np.asarray(codes), [[-1, 0, -2, 126, -128, 127]])
+
+
+@pytest.mark.parametrize("M,K,N", [(8, 16, 32), (5, 12, 20)])
+def test_qlinear_matches_int_oracle(M, K, N):
+    rng = np.random.RandomState(0)
+    x_int = rng.randint(-128, 128, (M, K)).astype(np.int8)
+    w_int = rng.randint(-128, 128, (K, N)).astype(np.int8)
+    scale = rng.rand(N).astype(np.float32) * 0.01
+    zp_s = np.float32(-3.0)
+    bias0 = zp_s * w_int.astype(np.int64).sum(0).astype(np.float32)
+    bias = rng.randn(N).astype(np.float32)
+    got = qops.qlinear(jnp.asarray(x_int), jnp.asarray(w_int),
+                       jnp.asarray(scale), jnp.asarray(bias0),
+                       jnp.asarray(bias), out_dtype=jnp.float32)
+    want = np_qlinear_oracle(x_int, w_int, scale, bias0, bias)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-3)
+
+
+@pytest.mark.parametrize("pad,stride", [(0, 1), (1, 1), (1, 2)])
+def test_qconv2d_matches_dequant_reference(pad, stride):
+    """int8 conv with zp-code padding == FP conv of the dequantized codes
+    with zero padding (the property the reference needs a per-pixel
+    bias0 kernel for, conv_act_zero_point_propagate.cu)."""
+    rng = np.random.RandomState(1)
+    B, H, W, C, K = 2, 8, 8, 4, 6
+    a_delta, a_zp = np.float32(0.05), np.float32(117.0)
+    zp_s = a_zp - 128.0
+    x = rng.randn(B, H, W, C).astype(np.float32)
+    codes = np.clip(np.round(x / a_delta) + zp_s, -128, 127).astype(np.int8)
+    w_delta = (rng.rand(K).astype(np.float32) + 0.5) * 0.02
+    w = rng.randn(3, 3, C, K).astype(np.float32)
+    w_int = np.clip(np.round(w / w_delta), -128, 127).astype(np.int8)
+    bias0 = zp_s * w_int.astype(np.int64).sum((0, 1, 2)).astype(np.float32)
+    scale = w_delta * a_delta
+
+    got = qops.qconv2d(
+        jnp.asarray(codes), jnp.asarray(w_int), jnp.asarray(scale),
+        jnp.asarray(bias0), jnp.asarray(zp_s), strides=(stride, stride),
+        padding=(pad, pad), out_dtype=jnp.float32)
+
+    # reference: FP conv of dequantized tensors with standard zero padding
+    x_dq = (codes.astype(np.float32) - zp_s) * a_delta
+    w_dq = w_int.astype(np.float32) * w_delta
+    want = jax.lax.conv_general_dilated(
+        jnp.asarray(x_dq), jnp.asarray(w_dq), (stride, stride),
+        [(pad, pad), (pad, pad)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_int8_deploy_end_to_end_matches_fake_quant():
+    """Tiny UNet: int8 deploy path ~= fake-quant W8A8 simulation, and the
+    deployed params tree has no fp kernels for quantized layers."""
+    from mixdq_tpu.models.configs import TINY_SDXL_UNET
+    from mixdq_tpu.models.unet import UNet2DConditionModel, conv_shortcut_splits
+    from mixdq_tpu.quant import calibrate as cal
+    from mixdq_tpu.quant.core import QuantSpec
+    from mixdq_tpu.quant.deploy import deploy_unet_ctx, deployed_params
+    from mixdq_tpu.quant.state import QuantCtx, quantizable_layers, uniform_ctrl
+
+    model = UNet2DConditionModel(TINY_SDXL_UNET)
+    B = 2
+    b0 = (jax.random.normal(jax.random.PRNGKey(9), (B, 16, 16, 4)),
+          jnp.full((B,), 999.0),
+          jax.random.normal(jax.random.PRNGKey(8), (B, 77, 128)),
+          {"text_embeds": jnp.ones((B, 64)), "time_ids": jnp.ones((B, 6))})
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), *b0)
+    names = quantizable_layers(variables["params"])
+    WQ = QuantSpec(sym=True, channel_wise=True, round_mode="nearest")
+    AQ = QuantSpec(running_stat=True)
+    splits = {k: v for k, v in conv_shortcut_splits(TINY_SDXL_UNET).items()
+              if k in names}
+    qparams = cal.calibrate(model, variables, [b0], WQ, AQ, splits=splits)
+    ctrl = uniform_ctrl(names, w_bits=8, a_bits=8)
+
+    fake_out = jax.jit(lambda v, qp, ct, *a: model.apply(
+        v, *a, QuantCtx(qparams=qp, ctrl=ct, mode="fake", wq=WQ, aq=AQ))
+    )(variables, qparams, ctrl, *b0)
+
+    ctx = deploy_unet_ctx(model, variables, qparams, ctrl, WQ, AQ,
+                          splits=splits, bos_aware=False)
+    pruned = deployed_params(variables, ctx)
+    # every deployed layer's fp kernel is gone
+    remaining = quantizable_layers(pruned["params"])
+    assert len(remaining) == 0, f"kernels left: {list(remaining)[:5]}"
+
+    int8_out = jax.jit(lambda v, c, *a: model.apply(v, *a, c))(
+        pruned, ctx, *b0)
+    s = float(sqnr(fake_out, int8_out))
+    assert s > 25.0, f"int8 deploy vs fake-quant SQNR too low: {s}"
+
+
+def test_int8_deploy_split_conv_present():
+    from mixdq_tpu.models.configs import TINY_SDXL_UNET
+    from mixdq_tpu.models.unet import UNet2DConditionModel, conv_shortcut_splits
+    from mixdq_tpu.quant import calibrate as cal
+    from mixdq_tpu.quant.core import QuantSpec
+    from mixdq_tpu.quant.deploy import build_deploy_params, uniform_layer_bits
+    from mixdq_tpu.quant.state import quantizable_layers
+
+    model = UNet2DConditionModel(TINY_SDXL_UNET)
+    B = 1
+    b0 = (jnp.zeros((B, 16, 16, 4)), jnp.zeros((B,)),
+          jnp.zeros((B, 77, 128)),
+          {"text_embeds": jnp.zeros((B, 64)), "time_ids": jnp.zeros((B, 6))})
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), *b0)
+    names = quantizable_layers(variables["params"])
+    WQ = QuantSpec(sym=True, channel_wise=True, round_mode="nearest")
+    AQ = QuantSpec(running_stat=True)
+    splits = {k: v for k, v in conv_shortcut_splits(TINY_SDXL_UNET).items()
+              if k in names}
+    qparams = cal.calibrate(model, variables, [b0], WQ, AQ, splits=splits)
+    deploy = build_deploy_params(variables["params"], qparams,
+                                 uniform_layer_bits(variables["params"]),
+                                 splits=splits)
+    for name in splits:
+        assert deploy[name].kind == "conv_split"
+        assert deploy[name].part0.w_int.shape[2] == splits[name]
