@@ -94,13 +94,16 @@ def main():
             backend = "fake"
 
     if backend == "int8":
-        from mixdq_tpu.quant.deploy import deploy_unet_ctx
+        from mixdq_tpu.quant.deploy import deploy_unet_ctx, deployed_params
         ctx = deploy_unet_ctx(unet, variables, qparams, ctrl, wq, aq)
+        q_vars = deployed_params(variables, ctx)  # fp kernels pruned
+        q_vars = jax.device_put(q_vars)
     else:
         ctx = QuantCtx(qparams=qparams, ctrl=ctrl, mode="fake", wq=wq, aq=aq)
+        q_vars = variables
 
     q_fn = jax.jit(lambda v, c, s, tt, e, a: unet.apply(v, s, tt, e, a, c))
-    q_ms = timeit(q_fn, variables, ctx, sample, t, ehs, added)
+    q_ms = timeit(q_fn, q_vars, ctx, sample, t, ehs, added)
     log(f"{backend} UNet: {q_ms:.2f} ms/step")
 
     mem = None

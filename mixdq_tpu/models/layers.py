@@ -97,6 +97,8 @@ class QDense(nn.Module):
         )
         if ctx.collect_stats:
             _sow_act_stats(self, name, x)
+        if ctx.capture_acts:
+            self.sow("act_capture", name, x)
 
         kernel = kernel.astype(self.dtype)
         x = x.astype(self.dtype)
@@ -160,6 +162,8 @@ class QConv(nn.Module):
                 _sow_act_stats(self, name, x[..., split:], suffix=".split")
             else:
                 _sow_act_stats(self, name, x)
+        if ctx.capture_acts:
+            self.sow("act_capture", name, x)
 
         kernel = kernel.astype(self.dtype)
         x = x.astype(self.dtype)

@@ -183,6 +183,35 @@ def protect_layers(
     return out
 
 
+def group_ctrl(
+    layer_names: Sequence[str], targets: Sequence[str], which: str,
+    bits: int, candidate_bits: Sequence[int] = DEFAULT_CANDIDATE_BITS,
+) -> Dict[str, LayerCtrl]:
+    """Quantize only layers matching any prefix/name in ``targets`` — the
+    reference's group/block-level ``set_layer_quant``
+    (quant_model.py:249-298). A target matches exactly or as a dotted
+    prefix (block-level sweep)."""
+    ctrl = uniform_ctrl(layer_names, w_on=False, a_on=False,
+                        candidate_bits=candidate_bits)
+    on = make_ctrl(
+        w_on=(which in ("weight", "both")), a_on=(which in ("act", "both")),
+        w_bits=bits, a_bits=bits, candidate_bits=candidate_bits)
+    for n in layer_names:
+        if any(n == t or n.startswith(t + ".") for t in targets):
+            ctrl[n] = on
+    return ctrl
+
+
+def quant_till_ctrl(
+    ordered_names: Sequence[str], k: int, which: str = "both", bits: int = 8,
+    candidate_bits: Sequence[int] = DEFAULT_CANDIDATE_BITS,
+) -> Dict[str, LayerCtrl]:
+    """Quantize the first ``k`` layers only (the reference's
+    ``quantize_model_till``, qdiff/utils.py:369-380)."""
+    return group_ctrl(ordered_names, list(ordered_names[:k]), which, bits,
+                      candidate_bits)
+
+
 def solo_layer_ctrl(
     layer_names: Sequence[str], target: str, which: str, bits: int,
     candidate_bits: Sequence[int] = DEFAULT_CANDIDATE_BITS,
@@ -229,6 +258,7 @@ class QuantCtx:
     aq: QuantSpec = struct.field(pytree_node=False, default=_AQ_DEFAULT)
     softmax_aq: Optional[QuantSpec] = struct.field(pytree_node=False, default=None)
     collect_stats: bool = struct.field(pytree_node=False, default=False)
+    capture_acts: bool = struct.field(pytree_node=False, default=False)
     bos_aware: bool = struct.field(pytree_node=False, default=False)
     qkv_quant: bool = struct.field(pytree_node=False, default=False)
 

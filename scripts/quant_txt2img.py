@@ -96,8 +96,14 @@ def main():
     qparams = load_qparams(os.path.join(args.base_path, "qparams.msgpack"))
     ctx = build_quant_ctx(cfg, pipe, params, qparams, args)
     if args.backend == "int8":
-        from mixdq_tpu.quant.deploy import deploy_ctx
-        ctx = deploy_ctx(ctx, params["unet"], pipe.splits)
+        from mixdq_tpu.quant.deploy import (deploy_unet_ctx,
+                                            prune_deployed_kernels)
+        wq, aq, _ = specs_from_config(cfg)
+        ctx = deploy_unet_ctx(
+            pipe.unet, {"params": params["unet"]}, qparams, ctx.ctrl, wq, aq,
+            splits=pipe.splits, bos_aware=cfg.inference.get("bos_aware", True))
+        params = {**params,
+                  "unet": prune_deployed_kernels(params["unet"], ctx.deploy)}
 
     prompts = ([args.prompt] * args.n_images if args.prompt
                else load_prompts(None, args.n_images))
