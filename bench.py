@@ -63,20 +63,33 @@ def main():
     log(f"init: {time.time()-t0:.1f}s")
 
     def timeit(fn, *args):
-        out = fn(*args)  # compile
-        jax.block_until_ready(out)
-        # warmup
+        """Chained timing: each step consumes the previous step's output
+        (UNet in/out shapes match), so executions form a true dependency
+        chain — immune to any result caching or overlap in the remote
+        execution path, and representative of the real sampler loop."""
+        def chained(s, *rest):
+            out = fn(s, *rest)
+            # keep the chained values bounded so 20 random-weight UNet
+            # applications can't overflow
+            return (out / (1.0 + jnp.abs(out))).astype(s.dtype)
+
+        cf = jax.jit(chained)
+        s = args[0]
+        rest = args[1:]
+        s = cf(s, *rest)  # compile
+        jax.block_until_ready(s)
         for _ in range(3):
-            jax.block_until_ready(fn(*args))
+            s = cf(s, *rest)
+        jax.block_until_ready(s)
         t0 = time.time()
         for _ in range(iters):
-            out = fn(*args)
-        jax.block_until_ready(out)
+            s = cf(s, *rest)
+        jax.block_until_ready(s)
         return (time.time() - t0) / iters * 1000.0
 
-    # bf16 baseline
-    fp_fn = jax.jit(lambda v, s, tt, e, a: unet.apply(v, s, tt, e, a))
-    fp_ms = timeit(fp_fn, variables, sample, t, ehs, added)
+    # bf16 baseline (sample is the chained arg -> first)
+    fp_fn = lambda s, v, tt, e, a: unet.apply(v, s, tt, e, a)
+    fp_ms = timeit(fp_fn, sample, variables, t, ehs, added)
     log(f"bf16 UNet: {fp_ms:.2f} ms/step")
 
     # quantized path
@@ -102,8 +115,8 @@ def main():
         ctx = QuantCtx(qparams=qparams, ctrl=ctrl, mode="fake", wq=wq, aq=aq)
         q_vars = variables
 
-    q_fn = jax.jit(lambda v, c, s, tt, e, a: unet.apply(v, s, tt, e, a, c))
-    q_ms = timeit(q_fn, q_vars, ctx, sample, t, ehs, added)
+    q_fn = lambda s, v, c, tt, e, a: unet.apply(v, s, tt, e, a, c)
+    q_ms = timeit(q_fn, sample, q_vars, ctx, t, ehs, added)
     log(f"{backend} UNet: {q_ms:.2f} ms/step")
 
     mem = None

@@ -188,10 +188,16 @@ def calibrate(
         _, state = model.apply(vars_, *args, ctx, mutable=["quant_stats"])
         return flatten_stats(state["quant_stats"])
 
+    ema_step = jax.jit(lambda r, n: ema_update_stats(r, n, momentum))
     running = None
     for batch in calib_batches:
         new = stats_step(variables, *batch)
-        running = ema_update_stats(running, new, momentum)
+        # first batch initializes (python branch), later batches EMA in
+        # one jitted program (dict-of-scalars eager loops are pathological
+        # over a remote-TPU link)
+        running = new if running is None else ema_step(running, new)
 
-    act_frag = fit_act_qparams_from_stats(running or {}, aq, softmax_aq)
+    act_frag = jax.jit(
+        lambda s: fit_act_qparams_from_stats(s, aq, softmax_aq)
+    )(running or {})
     return merge_qparams(weight_qp, act_frag)

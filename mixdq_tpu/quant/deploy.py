@@ -149,13 +149,23 @@ def deploy_unet_ctx(unet, variables, qparams, ctrl, wq: QuantSpec,
     frozen into static per-layer bits here."""
     params = variables["params"]
     if layer_bits is None:
+        # pull all controls to host in 4 transfers (per-scalar device_get
+        # over a remote-TPU link is pathologically slow)
         cb = list(wq.candidate_bits)
-        layer_bits = {}
-        for n, c in ctrl.items():
-            if bool(c.w_on) and bool(c.a_on):
-                layer_bits[n] = (cb[int(c.w_idx)], cb[int(c.a_idx)])
-    deploy = build_deploy_params(params, qparams, layer_bits,
-                                 wq.candidate_bits, splits)
+        names = sorted(ctrl.keys())
+        w_on = jax.device_get(jnp.stack([ctrl[n].w_on for n in names]))
+        a_on = jax.device_get(jnp.stack([ctrl[n].a_on for n in names]))
+        w_idx = jax.device_get(jnp.stack([ctrl[n].w_idx for n in names]))
+        a_idx = jax.device_get(jnp.stack([ctrl[n].a_idx for n in names]))
+        layer_bits = {
+            n: (cb[int(w_idx[i])], cb[int(a_idx[i])])
+            for i, n in enumerate(names) if bool(w_on[i]) and bool(a_on[i])}
+    # one jitted program for the whole deploy build (794 layers of eager
+    # per-layer ops would be thousands of remote dispatches)
+    deploy = jax.jit(
+        lambda p, qp: build_deploy_params(p, qp, layer_bits,
+                                          wq.candidate_bits, splits)
+    )(params, qparams)
     logger.info("deployed %d/%d layers to int8", len(deploy),
                 len(quantizable_layers(params)))
     return QuantCtx(qparams=None, ctrl=None, deploy=deploy, mode="int8",
