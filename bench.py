@@ -99,25 +99,24 @@ def main():
     qparams = cal.calibrate(unet, variables, [(sample, t, ehs, added)], wq, aq)
     ctrl = uniform_ctrl(names, w_bits=8, a_bits=8)
 
-    if backend == "auto":
-        try:
-            from mixdq_tpu.quant.deploy import deploy_unet_ctx  # noqa: F401
-            backend = "int8"
-        except Exception:
-            backend = "fake"
+    q_fn = lambda s, v, c, tt, e, a: unet.apply(v, s, tt, e, a, c)
 
-    if backend == "int8":
+    if backend in ("int8", "dequant", "auto"):
         from mixdq_tpu.quant.deploy import deploy_unet_ctx, deployed_params
         ctx = deploy_unet_ctx(unet, variables, qparams, ctrl, wq, aq)
-        q_vars = deployed_params(variables, ctx)  # fp kernels pruned
-        q_vars = jax.device_put(q_vars)
+        q_vars = jax.device_put(deployed_params(variables, ctx))
+        results = {}
+        modes = ([backend] if backend in ("int8", "dequant")
+                 else ["int8", "dequant"])
+        for m in modes:
+            cm = ctx.replace(deploy_compute=m)
+            results[m] = timeit(q_fn, sample, q_vars, cm, t, ehs, added)
+            log(f"{m} UNet: {results[m]:.2f} ms/step")
+        backend, q_ms = min(results.items(), key=lambda kv: kv[1])
     else:
         ctx = QuantCtx(qparams=qparams, ctrl=ctrl, mode="fake", wq=wq, aq=aq)
-        q_vars = variables
-
-    q_fn = lambda s, v, c, tt, e, a: unet.apply(v, s, tt, e, a, c)
-    q_ms = timeit(q_fn, sample, q_vars, ctx, t, ehs, added)
-    log(f"{backend} UNet: {q_ms:.2f} ms/step")
+        q_ms = timeit(q_fn, sample, variables, ctx, t, ehs, added)
+        log(f"{backend} UNet: {q_ms:.2f} ms/step")
 
     mem = None
     try:

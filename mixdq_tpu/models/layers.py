@@ -76,6 +76,15 @@ class QDense(nn.Module):
             from ..ops import qops
 
             x = x.astype(self.dtype)
+            if ctx.deploy_compute == "dequant":
+                # weight-only: dequant fused into the bf16 matmul
+                # (scale * scale_inv == w_delta)
+                w_deq = dp.w_int.astype(self.dtype) * (
+                    dp.scale * dp.scale_inv).astype(self.dtype)[None, :]
+                y = jnp.dot(x, w_deq)
+                if bias is not None:
+                    y = y + bias.astype(self.dtype)
+                return y
             codes = qops.quantize_per_tensor(x, dp.scale_inv, dp.zp_shifted)
             y = qops.qlinear(codes, dp.w_int, dp.scale, dp.bias0,
                              out_dtype=self.dtype)
@@ -147,7 +156,8 @@ class QConv(nn.Module):
         dp = (ctx.deploy.get(name) if (ctx.mode == "int8" and ctx.deploy)
               else None)
         if dp is not None:
-            y = self._int8_forward(x.astype(self.dtype), dp, split)
+            y = self._int8_forward(x.astype(self.dtype), dp, split,
+                                   dequant=ctx.deploy_compute == "dequant")
             if bias is not None:
                 y = y + bias.astype(self.dtype)
             return y
@@ -204,14 +214,27 @@ class QConv(nn.Module):
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
 
-    def _int8_forward(self, x, dp, split):
+    def _int8_forward(self, x, dp, split, dequant=False):
         """Real-quant conv (dual-conv sum for channel-split layers,
-        nn/Conv2d.py:312-347; bias applied once by the caller)."""
+        nn/Conv2d.py:312-347; bias applied once by the caller).
+        ``dequant``: weight-only mode — int8 weights dequantized into a
+        bf16 conv."""
         from ..ops import qops
 
         pad = self.padding
         if isinstance(pad, int):
             pad = (pad, pad)
+        if dequant:
+            def deq(e):
+                return e.w_int.astype(self.dtype) * (
+                    e.scale * e.scale_inv).astype(self.dtype)[None, None, None, :]
+
+            if dp.kind == "conv_split":
+                kernel = jnp.concatenate([deq(dp.part0), deq(dp.part1)],
+                                         axis=2)
+            else:
+                kernel = deq(dp)
+            return self._conv(x, kernel)
         if dp.kind == "conv_split":
             s = dp.split
             p0, p1 = dp.part0, dp.part1

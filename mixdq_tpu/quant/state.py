@@ -254,6 +254,11 @@ class QuantCtx:
     ctrl: Any = None  # Dict[str, LayerCtrl]
     deploy: Any = None  # Dict[str, DeployParams] for int8 mode
     mode: str = struct.field(pytree_node=False, default="fp")
+    # int8-mode compute strategy: 'int8' = integer MXU math with fused
+    # dequant epilogue (reference-style); 'dequant' = weight-only: int8
+    # weights dequantized on the fly into the matmul (memory-bound win on
+    # hardware where bf16 MXU outruns int8 math)
+    deploy_compute: str = struct.field(pytree_node=False, default="int8")
     wq: QuantSpec = struct.field(pytree_node=False, default=_WQ_DEFAULT)
     aq: QuantSpec = struct.field(pytree_node=False, default=_AQ_DEFAULT)
     softmax_aq: Optional[QuantSpec] = struct.field(pytree_node=False, default=None)
