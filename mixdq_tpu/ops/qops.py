@@ -59,7 +59,10 @@ def qlinear(
     bias: Optional[jnp.ndarray] = None,  # [N] fp
     out_dtype=jnp.bfloat16,
 ) -> jnp.ndarray:
-    """W8A8 matmul with fused dequant epilogue (int32 accumulation)."""
+    """W8A8 matmul with fused dequant epilogue (int32 accumulation).
+    ``w_int8`` may be int4-stored (W4 deploy); upcast on read."""
+    if w_int8.dtype != jnp.int8:
+        w_int8 = w_int8.astype(jnp.int8)
     acc = lax.dot_general(
         x_int8, w_int8, (((x_int8.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32)
@@ -81,6 +84,8 @@ def qconv2d(
     out_dtype=jnp.bfloat16,
 ) -> jnp.ndarray:
     """W8A8 NHWC conv with fused dequant epilogue and zp-code padding."""
+    if w_int8.dtype != jnp.int8:
+        w_int8 = w_int8.astype(jnp.int8)
     if padding[0] or padding[1]:
         pad_val = zp_shifted.astype(jnp.int8)
         x_int8 = lax.pad(

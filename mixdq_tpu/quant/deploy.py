@@ -92,6 +92,10 @@ def build_deploy_params(
 
         def entry(prep, kind):
             prep.pop("bias", None)
+            if eff_bits == 4:
+                # true 4-bit device storage (XLA packs two codes/byte) —
+                # 4x weight memory vs bf16; compute paths upcast on read
+                prep["w_int"] = prep["w_int"].astype(jnp.int4)
             return DeployEntry(kind=kind, **prep)
 
         if w.ndim == 2:

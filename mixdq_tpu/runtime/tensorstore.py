@@ -122,6 +122,12 @@ def save_deploy_ckpt(deploy: Dict[str, Any], path: str,
             v = getattr(e, f)
             if v is not None:
                 key = f"{prefix}::{f}"
+                if str(getattr(v, "dtype", "")) == "int4":
+                    import jax.numpy as jnp
+
+                    v = v.astype(jnp.int8)
+                    meta[prefix].setdefault("int4_fields", []).append(f)
+                    pack4.add(key)
                 tensors[key] = np.asarray(v)
                 if f == "w_int" and layer in w4_layers:
                     pack4.add(key)
@@ -148,7 +154,10 @@ def load_deploy_ckpt(path: str) -> Dict[str, Any]:
         for f in ("w_int", "scale", "bias0", "scale_inv", "zp_shifted"):
             key = f"{prefix}::{f}"
             if key in tensors:
-                kw[f] = jnp.asarray(tensors[key])
+                arr = jnp.asarray(tensors[key])
+                if f in m.get("int4_fields", []):
+                    arr = arr.astype(jnp.int4)
+                kw[f] = arr
         if f"{prefix}::part0" in meta:
             kw["part0"] = build(f"{prefix}::part0")
             kw["part1"] = build(f"{prefix}::part1")

@@ -144,3 +144,60 @@ def test_int8_deploy_split_conv_present():
     for name in splits:
         assert deploy[name].kind == "conv_split"
         assert deploy[name].part0.w_int.shape[2] == splits[name]
+
+
+def test_dequant_mode_matches_weight_only_fake_quant():
+    """'dequant' deploy compute == fake-quant with acts disabled."""
+    from mixdq_tpu.models.configs import TINY_SDXL_UNET
+    from mixdq_tpu.models.unet import UNet2DConditionModel, conv_shortcut_splits
+    from mixdq_tpu.quant import calibrate as cal
+    from mixdq_tpu.quant.core import QuantSpec
+    from mixdq_tpu.quant.deploy import deploy_unet_ctx, deployed_params
+    from mixdq_tpu.quant.state import QuantCtx, quantizable_layers, uniform_ctrl
+
+    model = UNet2DConditionModel(TINY_SDXL_UNET)
+    B = 1
+    b0 = (jax.random.normal(jax.random.PRNGKey(3), (B, 16, 16, 4)),
+          jnp.full((B,), 999.0),
+          jax.random.normal(jax.random.PRNGKey(4), (B, 77, 128)),
+          {"text_embeds": jnp.ones((B, 64)), "time_ids": jnp.ones((B, 6))})
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), *b0)
+    names = quantizable_layers(variables["params"])
+    WQ = QuantSpec(sym=True, channel_wise=True, round_mode="nearest")
+    AQ = QuantSpec(running_stat=True)
+    splits = {k: v for k, v in conv_shortcut_splits(TINY_SDXL_UNET).items()
+              if k in names}
+    qparams = cal.calibrate(model, variables, [b0], WQ, AQ, splits=splits)
+    ctrl_w_only = uniform_ctrl(names, w_bits=8, a_bits=8, a_on=False)
+    fake_out = jax.jit(lambda v, qp, ct, *a: model.apply(
+        v, *a, QuantCtx(qparams=qp, ctrl=ct, mode="fake", wq=WQ, aq=AQ))
+    )(variables, qparams, ctrl_w_only, *b0)
+
+    ctrl = uniform_ctrl(names, w_bits=8, a_bits=8)
+    ctx = deploy_unet_ctx(model, variables, qparams, ctrl, WQ, AQ,
+                          splits=splits, bos_aware=False)
+    ctx = ctx.replace(deploy_compute="dequant")
+    pruned = deployed_params(variables, ctx)
+    deq_out = jax.jit(lambda v, c, *a: model.apply(v, *a, c))(pruned, ctx, *b0)
+    s = float(sqnr(fake_out, deq_out))
+    assert s > 35.0, f"dequant vs weight-only fake SQNR too low: {s}"
+
+
+def test_w4_deploy_uses_int4_storage():
+    from mixdq_tpu.ops import qops as _q
+    import jax.numpy as jnp
+    from mixdq_tpu.quant.deploy import build_deploy_params, DeployEntry
+    from mixdq_tpu.quant.state import LayerQParams
+
+    w = jax.random.normal(jax.random.PRNGKey(0), (16, 8))
+    params = {"lin": {"kernel": w}}
+    qp = {"lin": LayerQParams(
+        w_delta=jnp.ones((3, 8)) * 0.1, w_zp=jnp.zeros((3, 8)),
+        a_delta=jnp.ones(3), a_zp=jnp.full((3,), 128.0))}
+    deploy = build_deploy_params(params, qp, {"lin": (4, 8)})
+    assert str(deploy["lin"].w_int.dtype) == "int4"
+    # int8-math path upcasts transparently
+    out = _q.qlinear(jnp.zeros((2, 16), jnp.int8), deploy["lin"].w_int,
+                     deploy["lin"].scale, deploy["lin"].bias0,
+                     out_dtype=jnp.float32)
+    assert out.shape == (2, 8)
