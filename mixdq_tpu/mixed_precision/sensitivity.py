@@ -76,6 +76,60 @@ def sweep_sqnr(
     return out
 
 
+def sweep_sqnr_batched(
+    model,
+    variables,
+    qparams,
+    layer_names: Sequence[str],
+    all_names: Sequence[str],
+    calib_batch: Tuple,
+    fp_outputs: jnp.ndarray,
+    wq,
+    aq,
+    which: str = "weight",
+    bits: Sequence[int] = (2, 4, 8),
+    chunk: int = 8,
+) -> Dict[str, List[float]]:
+    """Vectorized sweep: stacks ``chunk`` (layer, bit) control configs and
+    evaluates them in ONE vmapped forward — the controls are pytree data,
+    so sweep points become a batch axis (TPU-idiomatic replacement for the
+    reference's |layers| x |bits| sequential full runs,
+    quant_quality.py:275-301). Memory scales with ``chunk``."""
+    points = [(n, b) for n in layer_names for b in bits]
+
+    def make_ctrl_point(name, b):
+        return solo_layer_ctrl(all_names, name, which, b,
+                               candidate_bits=wq.candidate_bits)
+
+    @jax.jit
+    def run_chunk(ctrl_stack, *batch):
+        def one(ctrl):
+            ctx = QuantCtx(qparams=qparams, ctrl=ctrl, mode="fake",
+                           wq=wq, aq=aq)
+            out = model.apply(variables, *batch, ctx)
+            return sqnr(fp_outputs, out)
+
+        return jax.vmap(one)(ctrl_stack)
+
+    vals: List[float] = []
+    for i in range(0, len(points), chunk):
+        grp = points[i : i + chunk]
+        ctrls = [make_ctrl_point(n, b) for n, b in grp]
+        while len(ctrls) < chunk:  # pad -> single compiled shape
+            ctrls.append(ctrls[-1])
+        stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *ctrls)
+        out = run_chunk(stacked, *calib_batch)
+        # pad the last chunk so the jitted fn sees one shape
+        vals.extend([float(v) for v in out[: len(grp)]])
+        logger.info("batched sqnr sweep %d/%d", min(i + chunk, len(points)),
+                    len(points))
+
+    res: Dict[str, List[float]] = {}
+    for (n, b), v in zip(points, vals):
+        res.setdefault(n, []).append(v)
+    return res
+
+
 def sweep_ssim(
     pipe,
     params,

@@ -88,3 +88,33 @@ def test_sweep_sqnr_tiny_model():
     assert set(sens) == set(subset)
     for name, (s2, s8) in sens.items():
         assert s8 >= s2, f"{name}: 8-bit SQNR {s8} < 2-bit {s2}"
+
+
+def test_sweep_sqnr_batched_matches_sequential():
+    from mixdq_tpu.models.configs import TINY_SDXL_UNET
+    from mixdq_tpu.models.unet import UNet2DConditionModel
+    from mixdq_tpu.quant import calibrate as cal
+    from mixdq_tpu.quant.core import QuantSpec
+    from mixdq_tpu.quant.state import quantizable_layers
+
+    model = UNet2DConditionModel(TINY_SDXL_UNET)
+    B = 1
+    b0 = (jax.random.normal(jax.random.PRNGKey(9), (B, 16, 16, 4)),
+          jnp.full((B,), 999.0),
+          jax.random.normal(jax.random.PRNGKey(8), (B, 77, 128)),
+          {"text_embeds": jnp.ones((B, 64)), "time_ids": jnp.ones((B, 6))})
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), *b0)
+    names = sorted(quantizable_layers(variables["params"]))
+    WQ = QuantSpec(sym=True, channel_wise=True, round_mode="nearest")
+    AQ = QuantSpec(running_stat=True)
+    qparams = cal.calibrate(model, variables, [b0], WQ, AQ)
+    fp_out = jax.jit(model.apply)(variables, *b0)
+
+    subset = names[:3]
+    seq = sensitivity.sweep_sqnr(model, variables, qparams, subset, names,
+                                 b0, fp_out, WQ, AQ, bits=(4, 8))
+    bat = sensitivity.sweep_sqnr_batched(model, variables, qparams, subset,
+                                         names, b0, fp_out, WQ, AQ,
+                                         bits=(4, 8), chunk=4)
+    for n in subset:
+        np.testing.assert_allclose(bat[n], seq[n], rtol=1e-3, atol=0.2)
