@@ -77,11 +77,22 @@ class QDense(nn.Module):
 
             x = x.astype(self.dtype)
             if ctx.deploy_compute == "dequant":
-                # weight-only: dequant fused into the bf16 matmul
-                # (scale * scale_inv == w_delta)
-                w_deq = dp.w_int.astype(self.dtype) * (
-                    dp.scale * dp.scale_inv).astype(self.dtype)[None, :]
-                y = jnp.dot(x, w_deq)
+                # weight-only: int8 weights dequantized *inside* the
+                # Pallas matmul (VMEM dequant feeding the bf16 MXU — no
+                # bf16 weight materialization in HBM). XLA fallback on
+                # CPU (pallas compiled path is TPU-only).
+                w_delta = dp.scale * dp.scale_inv  # [N]
+                if jax.default_backend() != "cpu":
+                    from ..ops.pallas_wq_matmul import wq_matmul
+
+                    lead = x.shape[:-1]
+                    y2 = wq_matmul(x.reshape(-1, x.shape[-1]), dp.w_int,
+                                   w_delta, out_dtype=self.dtype)
+                    y = y2.reshape(*lead, y2.shape[-1])
+                else:
+                    w_deq = dp.w_int.astype(self.dtype) * w_delta.astype(
+                        self.dtype)[None, :]
+                    y = jnp.dot(x, w_deq)
                 if bias is not None:
                     y = y + bias.astype(self.dtype)
                 return y
@@ -225,6 +236,22 @@ class QConv(nn.Module):
         if isinstance(pad, int):
             pad = (pad, pad)
         if dequant:
+            # 1x1 stride-1 convs (proj_in/out, shortcuts) are matmuls —
+            # route them through the Pallas weight-dequant kernel; larger
+            # kernels dequantize per-layer (small vs total weight bytes)
+            # into an XLA bf16 conv.
+            if (dp.kind == "conv" and self.kernel_size == (1, 1)
+                    and self.strides == (1, 1)
+                    and jax.default_backend() != "cpu"):
+                from ..ops.pallas_wq_matmul import wq_matmul
+
+                B, H, W, C = x.shape
+                w2 = dp.w_int.reshape(C, -1)
+                y2 = wq_matmul(x.reshape(-1, C), w2,
+                               dp.scale * dp.scale_inv,
+                               out_dtype=self.dtype)
+                return y2.reshape(B, H, W, -1)
+
             def deq(e):
                 return e.w_int.astype(self.dtype) * (
                     e.scale * e.scale_inv).astype(self.dtype)[None, None, None, :]

@@ -62,6 +62,7 @@ def build_deploy_params(
     layer_bits: Dict[str, Tuple[int, int]],  # name -> (w_bits, a_bits)
     candidate_bits=(2, 4, 8),
     splits: Optional[Dict[str, int]] = None,
+    use_int4_storage: bool = False,
 ) -> Dict[str, Any]:
     """Build the deploy pytree for every layer present in ``layer_bits``
     whose activation path is A8 (int8 acceleration gate — the reference's
@@ -92,9 +93,11 @@ def build_deploy_params(
 
         def entry(prep, kind):
             prep.pop("bias", None)
-            if eff_bits == 4:
+            if eff_bits == 4 and use_int4_storage:
                 # true 4-bit device storage (XLA packs two codes/byte) —
-                # 4x weight memory vs bf16; compute paths upcast on read
+                # 4x weight memory vs bf16. NOTE: int4 arrays currently
+                # crash at jit call boundaries on the axon TPU backend
+                # (recursive-jit device_put bug), hence opt-in.
                 prep["w_int"] = prep["w_int"].astype(jnp.int4)
             return DeployEntry(kind=kind, **prep)
 

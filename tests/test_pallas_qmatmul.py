@@ -39,3 +39,38 @@ def test_qmatmul_no_bias():
                   out_dtype=jnp.float32, interpret=True)
     want = (x.astype(np.int64) @ w.astype(np.int64)).astype(np.float64) * scale
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-2)
+
+
+def test_wq_matmul_interpret_matches_dequant_reference():
+    from mixdq_tpu.ops.pallas_wq_matmul import wq_matmul
+
+    rng = np.random.RandomState(0)
+    M, K, N = 64, 256, 384
+    x = rng.randn(M, K).astype(np.float32)
+    w_int = rng.randint(-128, 128, (K, N)).astype(np.int8)
+    scale = (rng.rand(N).astype(np.float32) + 0.1) * 0.01
+    bias = rng.randn(N).astype(np.float32)
+
+    got = wq_matmul(jnp.asarray(x), jnp.asarray(w_int), jnp.asarray(scale),
+                    jnp.asarray(bias), bm=32, bn=128, bk=128,
+                    out_dtype=jnp.float32, interpret=True)
+    want = x.astype(np.float32) @ (
+        w_int.astype(np.float32) * scale[None, :]) + bias
+    # bf16 MXU feed: tolerance accounts for bf16 rounding of x and w
+    np.testing.assert_allclose(np.asarray(got), want, rtol=0.05, atol=0.5)
+
+
+def test_wq_matmul_unaligned_shapes():
+    from mixdq_tpu.ops.pallas_wq_matmul import wq_matmul
+
+    rng = np.random.RandomState(1)
+    M, K, N = 77, 300, 130
+    x = rng.randn(M, K).astype(np.float32)
+    w_int = rng.randint(-8, 8, (K, N)).astype(np.int8)
+    scale = np.full(N, 0.1, np.float32)
+    got = wq_matmul(jnp.asarray(x), jnp.asarray(w_int), jnp.asarray(scale),
+                    None, bm=32, bn=128, bk=128, out_dtype=jnp.float32,
+                    interpret=True)
+    want = x @ (w_int.astype(np.float32) * 0.1)
+    assert got.shape == (M, N)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=0.05, atol=0.5)

@@ -194,7 +194,7 @@ def test_w4_deploy_uses_int4_storage():
     qp = {"lin": LayerQParams(
         w_delta=jnp.ones((3, 8)) * 0.1, w_zp=jnp.zeros((3, 8)),
         a_delta=jnp.ones(3), a_zp=jnp.full((3,), 128.0))}
-    deploy = build_deploy_params(params, qp, {"lin": (4, 8)})
+    deploy = build_deploy_params(params, qp, {"lin": (4, 8)}, use_int4_storage=True)
     assert str(deploy["lin"].w_int.dtype) == "int4"
     # int8-math path upcasts transparently
     out = _q.qlinear(jnp.zeros((2, 16), jnp.int8), deploy["lin"].w_int,
