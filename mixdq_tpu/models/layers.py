@@ -76,13 +76,16 @@ class QDense(nn.Module):
             from ..ops import qops
 
             x = x.astype(self.dtype)
-            if ctx.deploy_compute == "dequant":
-                # weight-only: int8 weights dequantized *inside* the
-                # Pallas matmul (VMEM dequant feeding the bf16 MXU — no
-                # bf16 weight materialization in HBM). XLA fallback on
-                # CPU (pallas compiled path is TPU-only).
+            if ctx.deploy_compute in ("dequant", "pallas_dequant"):
+                # weight-only int8: the convert (int8 -> bf16) fuses into
+                # the dot's operand read on TPU, and the per-out-channel
+                # scale applies to the OUTPUT — no bf16 weight tensor ever
+                # materializes in HBM (scaling before the dot would force
+                # one, measured 10x slower). 'pallas_dequant' uses the
+                # hand-written VMEM-dequant kernel instead.
                 w_delta = dp.scale * dp.scale_inv  # [N]
-                if jax.default_backend() != "cpu":
+                if (ctx.deploy_compute == "pallas_dequant"
+                        and jax.default_backend() != "cpu"):
                     from ..ops.pallas_wq_matmul import wq_matmul
 
                     lead = x.shape[:-1]
@@ -90,9 +93,8 @@ class QDense(nn.Module):
                                    w_delta, out_dtype=self.dtype)
                     y = y2.reshape(*lead, y2.shape[-1])
                 else:
-                    w_deq = dp.w_int.astype(self.dtype) * w_delta.astype(
-                        self.dtype)[None, :]
-                    y = jnp.dot(x, w_deq)
+                    y = jnp.dot(x, dp.w_int.astype(self.dtype))
+                    y = y * w_delta.astype(self.dtype)
                 if bias is not None:
                     y = y + bias.astype(self.dtype)
                 return y
@@ -236,32 +238,21 @@ class QConv(nn.Module):
         if isinstance(pad, int):
             pad = (pad, pad)
         if dequant:
-            # 1x1 stride-1 convs (proj_in/out, shortcuts) are matmuls —
-            # route them through the Pallas weight-dequant kernel; larger
-            # kernels dequantize per-layer (small vs total weight bytes)
-            # into an XLA bf16 conv.
-            if (dp.kind == "conv" and self.kernel_size == (1, 1)
-                    and self.strides == (1, 1)
-                    and jax.default_backend() != "cpu"):
-                from ..ops.pallas_wq_matmul import wq_matmul
-
-                B, H, W, C = x.shape
-                w2 = dp.w_int.reshape(C, -1)
-                y2 = wq_matmul(x.reshape(-1, C), w2,
-                               dp.scale * dp.scale_inv,
-                               out_dtype=self.dtype)
-                return y2.reshape(B, H, W, -1)
-
-            def deq(e):
-                return e.w_int.astype(self.dtype) * (
-                    e.scale * e.scale_inv).astype(self.dtype)[None, None, None, :]
-
+            # weight-only int8: convert-only kernel feed (fuses into the
+            # conv's operand read), per-out-channel scale applied to the
+            # OUTPUT so no bf16 weight materializes in HBM.
             if dp.kind == "conv_split":
-                kernel = jnp.concatenate([deq(dp.part0), deq(dp.part1)],
-                                         axis=2)
-            else:
-                kernel = deq(dp)
-            return self._conv(x, kernel)
+                # the two halves carry separate per-out-channel deltas, so
+                # run the dual convs separately and sum (nn/Conv2d.py:312-347)
+                y0 = self._conv(x[..., : dp.split],
+                                dp.part0.w_int.astype(self.dtype))
+                y0 = y0 * (dp.part0.scale * dp.part0.scale_inv).astype(self.dtype)
+                y1 = self._conv(x[..., dp.split:],
+                                dp.part1.w_int.astype(self.dtype))
+                y1 = y1 * (dp.part1.scale * dp.part1.scale_inv).astype(self.dtype)
+                return y0 + y1
+            y = self._conv(x, dp.w_int.astype(self.dtype))
+            return y * (dp.scale * dp.scale_inv).astype(self.dtype)
         if dp.kind == "conv_split":
             s = dp.split
             p0, p1 = dp.part0, dp.part1

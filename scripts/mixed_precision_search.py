@@ -57,8 +57,29 @@ def main():
     if args.quick:
         content, quality = content[:8], quality[:8]
 
-    sizes = {n: int(np.prod(get_layer_kernel(params["unet"], layers[n]).shape))
-             for n in names}
+    if args.which == "weight":
+        sizes = {n: int(np.prod(get_layer_kernel(params["unet"],
+                                                 layers[n]).shape))
+                 for n in names}
+    else:
+        # activation budgets weight by act tensor sizes (the reference's
+        # act_ratio_config, optimize/tensor_ratio/): capture one forward
+        from mixdq_tpu.analysis.quant_error import _flatten
+        from mixdq_tpu.quant.state import QuantCtx
+
+        d0 = np.load(cfg.calib_data.path)
+        cap_batch = (jnp.asarray(d0["xs"][0, :1]), jnp.asarray(d0["ts"][0]),
+                     jnp.asarray(d0["text_embs"][:1]),
+                     ({"text_embeds": jnp.asarray(d0["text_embeds"][:1]),
+                       "time_ids": jnp.asarray(d0["time_ids"][:1])}
+                      if "text_embeds" in d0 else None))
+        _, st = pipe.unet.apply({"params": params["unet"]}, *cap_batch,
+                                QuantCtx(capture_acts=True),
+                                mutable=["act_capture"])
+        cap = _flatten(st["act_capture"])
+        sizes = {n: int(np.prod(cap[n].shape)) for n in names if n in cap}
+        for n in names:
+            sizes.setdefault(n, 1)
     size_frac = ilp.tensor_size_fractions(sizes)
 
     # phase 2a: SQNR over quality layers (UNet on calib inputs)
