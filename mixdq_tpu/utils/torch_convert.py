@@ -178,6 +178,51 @@ def _norm_or_conv_leaf(params, mod, leaf, w):
         logger.warning("unhandled vae leaf %s", ".".join(mod + [leaf]))
 
 
+def fuse_lora_state_dict(
+    sd: Mapping[str, np.ndarray],
+    lora_sd: Mapping[str, np.ndarray],
+    scale: float = 1.0,
+) -> Dict[str, np.ndarray]:
+    """Fuse LoRA weights into a base torch state dict:
+    ``W' = W + scale * (alpha/r) * B @ A``.
+
+    The SD1.5+LCM flow fuses the LCM-LoRA adapter before quantization
+    (the reference's ``pipe.fuse_lora()`` path, qdiff/utils.py:455-459);
+    this reproduces that fusion offline so the quantizer sees plain
+    Linear weights. LoRA keys: ``{base}.lora_A.weight`` / ``.lora_B.weight``
+    (peft) or ``{base}.lora_down.weight`` / ``.lora_up.weight`` (kohya),
+    optional ``.alpha`` scalars."""
+    out = dict(sd)
+    pairs = {}
+    for k in lora_sd:
+        for down_tag, up_tag in (("lora_A", "lora_B"),
+                                 ("lora_down", "lora_up")):
+            if f".{down_tag}." in k or k.endswith(f".{down_tag}.weight"):
+                base = k.split(f".{down_tag}")[0]
+                pairs.setdefault(base, {})["down"] = k
+            elif f".{up_tag}." in k or k.endswith(f".{up_tag}.weight"):
+                base = k.split(f".{up_tag}")[0]
+                pairs.setdefault(base, {})["up"] = k
+    fused = 0
+    for base, pq in pairs.items():
+        if "down" not in pq or "up" not in pq:
+            continue
+        A = np.asarray(lora_sd[pq["down"]], np.float32)  # [r, in]
+        B = np.asarray(lora_sd[pq["up"]], np.float32)  # [out, r]
+        r = A.shape[0]
+        alpha = float(np.asarray(lora_sd.get(f"{base}.alpha", r)))
+        target = f"{base}.weight"
+        if target not in out:
+            logger.warning("LoRA target missing in base sd: %s", target)
+            continue
+        W = np.asarray(out[target], np.float32)
+        delta = (B @ A) * (scale * alpha / r)
+        out[target] = (W + delta.reshape(W.shape)).astype(W.dtype)
+        fused += 1
+    logger.info("fused %d LoRA layers", fused)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Reference quant checkpoint
 # ---------------------------------------------------------------------------

@@ -130,3 +130,18 @@ def test_reference_qparams_conversion():
     assert sc.w0_delta is not None and sc.w0_delta.shape == (3, C)
     qact = qp["mid_block.attentions.0.transformer_blocks.0.attn1.act_quantizer_q"]
     assert qact.a_delta.shape == (3,)
+
+
+def test_fuse_lora_state_dict():
+    rng = np.random.RandomState(0)
+    W = rng.randn(8, 6).astype(np.float32)
+    sd = {"unet.attn.to_q.weight": W.copy()}
+    A = rng.randn(2, 6).astype(np.float32)  # [r, in]
+    B = rng.randn(8, 2).astype(np.float32)  # [out, r]
+    lora = {"unet.attn.to_q.lora_A.weight": A,
+            "unet.attn.to_q.lora_B.weight": B,
+            "unet.attn.to_q.alpha": np.float32(4.0)}
+    fused = torch_convert.fuse_lora_state_dict(sd, lora, scale=0.5)
+    want = W + (B @ A) * (0.5 * 4.0 / 2.0)
+    np.testing.assert_allclose(fused["unet.attn.to_q.weight"], want,
+                               rtol=1e-5)
