@@ -89,8 +89,6 @@ def main():
 
     # bf16 baseline (sample is the chained arg -> first)
     fp_fn = lambda s, v, tt, e, a: unet.apply(v, s, tt, e, a)
-    fp_ms = timeit(fp_fn, sample, variables, t, ehs, added)
-    log(f"bf16 UNet: {fp_ms:.2f} ms/step")
 
     # quantized path
     wq = QuantSpec(sym=True, channel_wise=True, round_mode="nearest")
@@ -101,22 +99,41 @@ def main():
 
     q_fn = lambda s, v, c, tt, e, a: unet.apply(v, s, tt, e, a, c)
 
+    # Build all candidate quant variants, then measure INTERLEAVED with
+    # the bf16 baseline across rounds and take per-mode minimums: this
+    # environment migrates between hosts with very different perf
+    # characteristics, so sequential per-mode measurement is unfair.
+    variants = {}
     if backend in ("int8", "dequant", "auto"):
         from mixdq_tpu.quant.deploy import deploy_unet_ctx, deployed_params
-        ctx = deploy_unet_ctx(unet, variables, qparams, ctrl, wq, aq)
-        q_vars = jax.device_put(deployed_params(variables, ctx))
-        results = {}
         modes = ([backend] if backend in ("int8", "dequant")
                  else ["int8", "dequant"])
         for m in modes:
-            cm = ctx.replace(deploy_compute=m)
-            results[m] = timeit(q_fn, sample, q_vars, cm, t, ehs, added)
-            log(f"{m} UNet: {results[m]:.2f} ms/step")
-        backend, q_ms = min(results.items(), key=lambda kv: kv[1])
+            # dequant mode keeps spatial convs FP (convert fuses into
+            # matmuls but not convs; dense = 87% of SDXL weights)
+            ctx = deploy_unet_ctx(unet, variables, qparams, ctrl, wq, aq,
+                                  skip_spatial_convs=(m == "dequant"))
+            ctx = ctx.replace(deploy_compute=m)
+            q_vars = jax.device_put(deployed_params(variables, ctx))
+            variants[m] = (q_vars, ctx)
     else:
         ctx = QuantCtx(qparams=qparams, ctrl=ctrl, mode="fake", wq=wq, aq=aq)
-        q_ms = timeit(q_fn, sample, variables, ctx, t, ehs, added)
-        log(f"{backend} UNet: {q_ms:.2f} ms/step")
+        variants[backend] = (variables, ctx)
+
+    rounds = int(os.environ.get("MIXDQ_BENCH_ROUNDS", "3"))
+    best = {"bf16": float("inf"), **{m: float("inf") for m in variants}}
+    for r in range(rounds):
+        best["bf16"] = min(best["bf16"],
+                           timeit(fp_fn, sample, variables, t, ehs, added))
+        for m, (qv, cm) in variants.items():
+            best[m] = min(best[m], timeit(q_fn, sample, qv, cm, t, ehs, added))
+        log(f"round {r}: " + " ".join(f"{k}={v:.2f}ms"
+                                      for k, v in best.items()))
+    fp_ms = best.pop("bf16")
+    log(f"bf16 UNet: {fp_ms:.2f} ms/step")
+    backend, q_ms = min(best.items(), key=lambda kv: kv[1])
+    for m, v in best.items():
+        log(f"{m} UNet: {v:.2f} ms/step")
 
     mem = None
     try:

@@ -4,5 +4,5 @@ from .core import (QuantSpec, fake_quant, fake_quant_channelwise,
 from .state import (LayerCtrl, LayerQParams, QuantCtx, apply_bitwidth_config,
                     canonical_name, group_ctrl, make_ctrl, protect_layers,
                     quantizable_layers, solo_layer_ctrl, uniform_ctrl)
-from .calibrate import calibrate
+from . import calibrate
 from .checkpoint import load_qparams, save_qparams

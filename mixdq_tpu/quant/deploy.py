@@ -63,6 +63,7 @@ def build_deploy_params(
     candidate_bits=(2, 4, 8),
     splits: Optional[Dict[str, int]] = None,
     use_int4_storage: bool = False,
+    skip_spatial_convs: bool = False,
 ) -> Dict[str, Any]:
     """Build the deploy pytree for every layer present in ``layer_bits``
     whose activation path is A8 (int8 acceleration gate — the reference's
@@ -87,6 +88,12 @@ def build_deploy_params(
         for p in layers[name]:
             node = node[p]
         w = node["kernel"]
+        if skip_spatial_convs and w.ndim == 4 and w.shape[0] * w.shape[1] > 1:
+            # spatial convs (12% of SDXL weights) stay FP: XLA fuses the
+            # int8->bf16 convert into matmul operands but not into conv
+            # kernels, so deploying them costs more than it saves in
+            # 'dequant' mode
+            continue
         wb_idx, ab_idx = cb.index(w_bits), cb.index(a_bits)
         # 2-bit treated as 4 for storage/math (quantize_sdxl.py:46-48)
         eff_bits = max(w_bits, 4)
@@ -150,6 +157,7 @@ def uniform_layer_bits(params: Dict[str, Any], w_bits: int = 8,
 def deploy_unet_ctx(unet, variables, qparams, ctrl, wq: QuantSpec,
                     aq: QuantSpec, splits=None, bos_aware: bool = True,
                     layer_bits: Optional[Dict[str, Tuple[int, int]]] = None,
+                    skip_spatial_convs: bool = False,
                     ) -> "QuantCtx":
     """Build an int8-mode QuantCtx (+ pruned params inside ``.deploy``
     consumers must fetch via ``deployed_params``). ``ctrl`` (dynamic) is
@@ -170,8 +178,9 @@ def deploy_unet_ctx(unet, variables, qparams, ctrl, wq: QuantSpec,
     # one jitted program for the whole deploy build (794 layers of eager
     # per-layer ops would be thousands of remote dispatches)
     deploy = jax.jit(
-        lambda p, qp: build_deploy_params(p, qp, layer_bits,
-                                          wq.candidate_bits, splits)
+        lambda p, qp: build_deploy_params(
+            p, qp, layer_bits, wq.candidate_bits, splits,
+            skip_spatial_convs=skip_spatial_convs)
     )(params, qparams)
     logger.info("deployed %d/%d layers to int8", len(deploy),
                 len(quantizable_layers(params)))

@@ -1,0 +1,29 @@
+#!/usr/bin/env bash
+# Full PTQ flow driver (counterpart of the reference's main.sh three-step
+# flow + main_quant_infer.sh mixed-precision invocation).
+#
+# Usage: ./run_flow.sh [config] [outdir]
+#   ./run_flow.sh configs/tiny.yaml outputs/tiny_flow     # CPU smoke
+#   ./run_flow.sh configs/sdxl_turbo.yaml logs/sdxl_turbo # full model
+set -euo pipefail
+CONFIG=${1:-configs/tiny.yaml}
+OUTDIR=${2:-outputs/flow}
+
+echo "== 1/4 calibration data =="
+python scripts/gen_calib_data.py --config "$CONFIG"
+
+echo "== 2/4 PTQ =="
+python scripts/ptq.py --config "$CONFIG" --outdir "$OUTDIR"
+
+echo "== 3/4 mixed-precision search (weight) =="
+python scripts/mixed_precision_search.py --base_path "$OUTDIR" \
+    --which weight --target_bits 5.0 --quick --n_prompts 1
+
+echo "== 4/4 quantized generation =="
+python scripts/quant_txt2img.py --base_path "$OUTDIR" \
+    --config_weight_mp "$OUTDIR/weight_mp_config.yaml" --n_images 2
+
+echo "== eval =="
+python scripts/evaluate.py --base_path "$OUTDIR" --n_prompts 2
+
+echo "done: $OUTDIR"

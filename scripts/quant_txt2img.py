@@ -51,9 +51,11 @@ def build_quant_ctx(cfg, pipe, params, qparams, args):
     """Assemble the QuantCtx: uniform bits from config, then MP yamls,
     then act-protect (the load order of quant_txt2img.py:207-245)."""
     wq, aq, softmax_aq = specs_from_config(cfg)
-    names = quantizable_layers(params["unet"])
+    # control entries for every calibrated entity, incl. bare q/k/v/softmax
+    # act quantizers when qkv-quant configs are in play
+    names = set(quantizable_layers(params["unet"])) | set(qparams)
     cb = wq.candidate_bits
-    ctrl = uniform_ctrl(names, w_bits=cfg.quant.weight.n_bits,
+    ctrl = uniform_ctrl(sorted(names), w_bits=cfg.quant.weight.n_bits,
                         a_bits=cfg.quant.activation.n_bits,
                         candidate_bits=cb)
     if args.config_weight_mp:
