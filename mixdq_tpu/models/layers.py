@@ -76,6 +76,27 @@ class QDense(nn.Module):
             from ..ops import qops
 
             x = x.astype(self.dtype)
+            if dp.w_packed is not None:
+                # halves-packed W4: Pallas in-kernel nibble unpack + bf16
+                # MXU (4x weight memory vs bf16). CPU fallback unpacks.
+                w_delta = dp.scale * dp.scale_inv
+                lead = x.shape[:-1]
+                x2 = x.reshape(-1, x.shape[-1])
+                if jax.default_backend() != "cpu":
+                    from ..ops.pallas_wq_matmul import wq4_matmul
+
+                    y2 = wq4_matmul(x2, dp.w_packed, w_delta,
+                                    out_dtype=self.dtype)
+                else:
+                    lo = (dp.w_packed & 0xF).astype(jnp.int8) - 8
+                    hi = (dp.w_packed >> 4).astype(jnp.int8) - 8
+                    w_int = jnp.concatenate([lo, hi], axis=0)
+                    y2 = jnp.dot(x2, w_int.astype(self.dtype))
+                    y2 = y2 * w_delta.astype(self.dtype)
+                y = y2.reshape(*lead, y2.shape[-1])
+                if bias is not None:
+                    y = y + bias.astype(self.dtype)
+                return y
             if ctx.deploy_compute in ("dequant", "pallas_dequant"):
                 # weight-only int8: the convert (int8 -> bf16) fuses into
                 # the dot's operand read on TPU, and the per-out-channel

@@ -51,6 +51,103 @@ def _kernel_nobias(x_ref, w_ref, scale_ref, o_ref, acc_ref):
     _kernel(x_ref, w_ref, scale_ref, None, o_ref, acc_ref)
 
 
+# ---------------------------------------------------------------------------
+# Packed-int4 weights (two codes per byte)
+# ---------------------------------------------------------------------------
+
+
+def pack_w4_halves(w_int: jnp.ndarray) -> jnp.ndarray:
+    """Pack int4 codes [K, N] (values in [-8, 7]) into uint8 [K//2, N]:
+    low nibble = row k, high nibble = row k + K//2. The halves layout
+    (vs pairwise interleave) lets the kernel unpack with two cheap
+    nibble ops and two MXU dots — no sublane shuffles. K must be even."""
+    K = w_int.shape[0]
+    assert K % 2 == 0
+    lo = (w_int[: K // 2].astype(jnp.int32) + 8).astype(jnp.uint8)
+    hi = (w_int[K // 2 :].astype(jnp.int32) + 8).astype(jnp.uint8)
+    return (lo | (hi << 4)).astype(jnp.uint8)
+
+
+def _w4_kernel(x_lo_ref, x_hi_ref, w_ref, scale_ref, o_ref, acc_ref):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    w = w_ref[:]
+    w_lo = ((w & 0xF).astype(jnp.int8) - 8).astype(jnp.bfloat16)
+    w_hi = ((w >> 4).astype(jnp.int8) - 8).astype(jnp.bfloat16)
+    s = scale_ref[:].astype(jnp.bfloat16)
+    acc_ref[:] += jnp.dot(x_lo_ref[:], w_lo * s,
+                          preferred_element_type=jnp.float32)
+    acc_ref[:] += jnp.dot(x_hi_ref[:], w_hi * s,
+                          preferred_element_type=jnp.float32)
+
+    @pl.when(k == pl.num_programs(2) - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("bm", "bn", "bk", "out_dtype",
+                                             "interpret"))
+def wq4_matmul(
+    x: jnp.ndarray,  # [M, K]
+    w_packed: jnp.ndarray,  # [K//2, N] uint8 (pack_w4_halves layout)
+    w_scale: jnp.ndarray,  # [N]
+    bm: int = 256,
+    bn: int = 512,
+    bk: int = 256,  # packed-K tile (covers 2*bk logical rows)
+    out_dtype=jnp.bfloat16,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    M, K = x.shape
+    Kh, N = w_packed.shape
+    assert K == 2 * Kh, (x.shape, w_packed.shape)
+    bm = min(bm, _round_up(M, 16))
+    bn = min(bn, _round_up(N, 128))
+    bk = min(bk, _round_up(Kh, 128))
+    Mp, Np, Khp = _round_up(M, bm), _round_up(N, bn), _round_up(Kh, bk)
+    xp = x.astype(jnp.bfloat16)
+    if Mp != M or Khp != Kh:
+        # pad both halves consistently: x = [lo_half | hi_half]
+        x_lo = jnp.pad(xp[:, :Kh], ((0, Mp - M), (0, Khp - Kh)))
+        x_hi = jnp.pad(xp[:, Kh:], ((0, Mp - M), (0, Khp - Kh)))
+    else:
+        x_lo, x_hi = xp[:, :Kh], xp[:, Kh:]
+    if (Khp, Np) != (Kh, N):
+        w_packed = jnp.pad(w_packed, ((0, Khp - Kh), (0, Np - N)),
+                           constant_values=0x88)  # packed zeros (-8+8=0... 0x88 = (0+8)|(0+8)<<4)
+        w_scale = jnp.pad(w_scale, (0, Np - N))
+
+    grid = (Mp // bm, Np // bn, Khp // bk)
+    vec_spec = pl.BlockSpec((1, bn), lambda i, j, k: (0, j),
+                            memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _w4_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, k: (i, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, bk), lambda i, j, k: (i, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, bn), lambda i, j, k: (k, j),
+                         memory_space=pltpu.VMEM),
+            vec_spec,
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Mp, Np), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * Mp * Np * Khp,
+            bytes_accessed=2 * Mp * Khp * 2 + Khp * Np + Mp * Np * 2,
+            transcendentals=0),
+        interpret=interpret,
+    )(x_lo, x_hi, w_packed, w_scale.reshape(1, -1))
+    return out[:M, :N]
+
+
 def _round_up(x, m):
     return (x + m - 1) // m * m
 

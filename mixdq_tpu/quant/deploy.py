@@ -46,6 +46,7 @@ class DeployEntry:
     leaves are the integer-math constants of nn/Linear.py:115-132)."""
 
     w_int: Optional[jnp.ndarray] = None
+    w_packed: Optional[jnp.ndarray] = None  # uint8 halves-packed int4 codes
     scale: Optional[jnp.ndarray] = None
     bias0: Optional[jnp.ndarray] = None
     scale_inv: Optional[jnp.ndarray] = None
@@ -64,6 +65,7 @@ def build_deploy_params(
     splits: Optional[Dict[str, int]] = None,
     use_int4_storage: bool = False,
     skip_spatial_convs: bool = False,
+    pack_w4: bool = False,
 ) -> Dict[str, Any]:
     """Build the deploy pytree for every layer present in ``layer_bits``
     whose activation path is A8 (int8 acceleration gate — the reference's
@@ -100,7 +102,15 @@ def build_deploy_params(
 
         def entry(prep, kind):
             prep.pop("bias", None)
-            if eff_bits == 4 and use_int4_storage:
+            if (eff_bits == 4 and pack_w4 and kind == "linear"
+                    and prep["w_int"].shape[0] % 2 == 0):
+                # halves-packed uint8 for the Pallas W4 kernel: 4x weight
+                # memory vs bf16, jit-boundary safe (unlike device int4)
+                from ..ops.pallas_wq_matmul import pack_w4_halves
+
+                prep["w_packed"] = pack_w4_halves(prep["w_int"])
+                prep.pop("w_int")
+            elif eff_bits == 4 and use_int4_storage:
                 # true 4-bit device storage (XLA packs two codes/byte) —
                 # 4x weight memory vs bf16. NOTE: int4 arrays currently
                 # crash at jit call boundaries on the axon TPU backend
@@ -158,6 +168,7 @@ def deploy_unet_ctx(unet, variables, qparams, ctrl, wq: QuantSpec,
                     aq: QuantSpec, splits=None, bos_aware: bool = True,
                     layer_bits: Optional[Dict[str, Tuple[int, int]]] = None,
                     skip_spatial_convs: bool = False,
+                    pack_w4: bool = False,
                     ) -> "QuantCtx":
     """Build an int8-mode QuantCtx (+ pruned params inside ``.deploy``
     consumers must fetch via ``deployed_params``). ``ctrl`` (dynamic) is
@@ -180,7 +191,7 @@ def deploy_unet_ctx(unet, variables, qparams, ctrl, wq: QuantSpec,
     deploy = jax.jit(
         lambda p, qp: build_deploy_params(
             p, qp, layer_bits, wq.candidate_bits, splits,
-            skip_spatial_convs=skip_spatial_convs)
+            skip_spatial_convs=skip_spatial_convs, pack_w4=pack_w4)
     )(params, qparams)
     logger.info("deployed %d/%d layers to int8", len(deploy),
                 len(quantizable_layers(params)))

@@ -74,3 +74,37 @@ def test_wq_matmul_unaligned_shapes():
     want = x @ (w_int.astype(np.float32) * 0.1)
     assert got.shape == (M, N)
     np.testing.assert_allclose(np.asarray(got), want, rtol=0.05, atol=0.5)
+
+
+def test_wq4_matmul_interpret_matches_reference():
+    from mixdq_tpu.ops.pallas_wq_matmul import pack_w4_halves, wq4_matmul
+
+    rng = np.random.RandomState(2)
+    M, K, N = 32, 256, 128
+    x = rng.randn(M, K).astype(np.float32)
+    w_int = rng.randint(-8, 8, (K, N)).astype(np.int8)
+    scale = (rng.rand(N).astype(np.float32) + 0.1) * 0.05
+    packed = pack_w4_halves(jnp.asarray(w_int))
+    assert packed.shape == (K // 2, N) and packed.dtype == jnp.uint8
+
+    got = wq4_matmul(jnp.asarray(x), packed, jnp.asarray(scale),
+                     bm=32, bn=128, bk=128, out_dtype=jnp.float32,
+                     interpret=True)
+    want = x @ (w_int.astype(np.float32) * scale[None, :])
+    np.testing.assert_allclose(np.asarray(got), want, rtol=0.05, atol=0.5)
+
+
+def test_wq4_matmul_unaligned():
+    from mixdq_tpu.ops.pallas_wq_matmul import pack_w4_halves, wq4_matmul
+
+    rng = np.random.RandomState(3)
+    M, K, N = 17, 300, 130  # K even but K/2=150 unaligned
+    x = rng.randn(M, K).astype(np.float32)
+    w_int = rng.randint(-8, 8, (K, N)).astype(np.int8)
+    scale = np.full(N, 0.1, np.float32)
+    got = wq4_matmul(jnp.asarray(x), pack_w4_halves(jnp.asarray(w_int)),
+                     jnp.asarray(scale), bm=32, bn=128, bk=128,
+                     out_dtype=jnp.float32, interpret=True)
+    want = x @ (w_int.astype(np.float32) * 0.1)
+    assert got.shape == (M, N)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=0.05, atol=0.5)

@@ -201,3 +201,45 @@ def test_w4_deploy_uses_int4_storage():
                      deploy["lin"].scale, deploy["lin"].bias0,
                      out_dtype=jnp.float32)
     assert out.shape == (2, 8)
+
+
+def test_w4_packed_deploy_end_to_end():
+    """W4A8 with halves-packed weights matches W4 weight-only fake quant."""
+    from mixdq_tpu.models.configs import TINY_SDXL_UNET
+    from mixdq_tpu.models.unet import UNet2DConditionModel
+    from mixdq_tpu.quant import calibrate as cal
+    from mixdq_tpu.quant.core import QuantSpec
+    from mixdq_tpu.quant.deploy import deploy_unet_ctx, deployed_params
+    from mixdq_tpu.quant.state import QuantCtx, quantizable_layers, uniform_ctrl
+
+    # bf16 model so the fake baseline and the (bf16 MXU) packed kernel
+    # compute in the same precision
+    model = UNet2DConditionModel(TINY_SDXL_UNET, dtype=jnp.bfloat16)
+    B = 1
+    b0 = (jax.random.normal(jax.random.PRNGKey(3), (B, 16, 16, 4)),
+          jnp.full((B,), 999.0),
+          jax.random.normal(jax.random.PRNGKey(4), (B, 77, 128)),
+          {"text_embeds": jnp.ones((B, 64)), "time_ids": jnp.ones((B, 6))})
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), *b0)
+    names = quantizable_layers(variables["params"])
+    WQ = QuantSpec(sym=True, channel_wise=True, round_mode="nearest", n_bits=4)
+    AQ = QuantSpec(running_stat=True)
+    qparams = cal.calibrate(model, variables, [b0], WQ, AQ)
+
+    ctrl_w_only = uniform_ctrl(names, w_bits=4, a_bits=8, a_on=False)
+    fake_out = jax.jit(lambda v, qp, ct, *a: model.apply(
+        v, *a, QuantCtx(qparams=qp, ctrl=ct, mode="fake", wq=WQ, aq=AQ))
+    )(variables, qparams, ctrl_w_only, *b0)
+
+    ctrl = uniform_ctrl(names, w_bits=4, a_bits=8)
+    ctx = deploy_unet_ctx(model, variables, qparams, ctrl, WQ, AQ,
+                          bos_aware=False, pack_w4=True)
+    ctx = ctx.replace(deploy_compute="dequant")
+    # packed entries present for even-K dense layers
+    assert any(e.w_packed is not None for e in ctx.deploy.values())
+    pruned = deployed_params(variables, ctx)
+    out = jax.jit(lambda v, c, *a: model.apply(v, *a, c))(pruned, ctx, *b0)
+    s = float(sqnr(fake_out, out))
+    # per-layer parity is exact (see pack roundtrip tests); the residual
+    # is bf16 rounding-order differences accumulating over 183 layers
+    assert s > 12.0, f"W4-packed vs W4 fake SQNR too low: {s}"
