@@ -120,20 +120,33 @@ def main():
         ctx = QuantCtx(qparams=qparams, ctrl=ctrl, mode="fake", wq=wq, aq=aq)
         variants[backend] = (variables, ctx)
 
+    # The host can migrate MID-BENCH with ~10x perf swings, so absolute
+    # per-mode minima are incomparable. Measure each quant mode PAIRED
+    # with a bf16 measurement taken immediately before it, keep the
+    # per-pair speedup ratio, and report the median ratio across rounds.
     rounds = int(os.environ.get("MIXDQ_BENCH_ROUNDS", "3"))
-    best = {"bf16": float("inf"), **{m: float("inf") for m in variants}}
+    import statistics
+
+    ratios = {m: [] for m in variants}
+    times = {m: [] for m in variants}
+    fp_times = []
     for r in range(rounds):
-        best["bf16"] = min(best["bf16"],
-                           timeit(fp_fn, sample, variables, t, ehs, added))
         for m, (qv, cm) in variants.items():
-            best[m] = min(best[m], timeit(q_fn, sample, qv, cm, t, ehs, added))
-        log(f"round {r}: " + " ".join(f"{k}={v:.2f}ms"
-                                      for k, v in best.items()))
-    fp_ms = best.pop("bf16")
-    log(f"bf16 UNet: {fp_ms:.2f} ms/step")
-    backend, q_ms = min(best.items(), key=lambda kv: kv[1])
-    for m, v in best.items():
-        log(f"{m} UNet: {v:.2f} ms/step")
+            fp = timeit(fp_fn, sample, variables, t, ehs, added)
+            qm = timeit(q_fn, sample, qv, cm, t, ehs, added)
+            ratios[m].append(fp / qm)
+            times[m].append(qm)
+            fp_times.append(fp)
+            log(f"round {r} {m}: bf16={fp:.2f}ms {m}={qm:.2f}ms "
+                f"ratio={fp/qm:.3f}")
+    med = {m: statistics.median(rs) for m, rs in ratios.items()}
+    backend = max(med, key=med.get)
+    q_ms = statistics.median(times[backend])
+    fp_ms = q_ms * med[backend]
+    log(f"bf16 UNet: {statistics.median(fp_times):.2f} ms/step (median)")
+    for m in variants:
+        log(f"{m} UNet: {statistics.median(times[m]):.2f} ms/step "
+            f"(median speedup {med[m]:.3f}x)")
 
     mem = None
     try:
