@@ -123,13 +123,19 @@ class QDense(nn.Module):
             y = qops.qlinear(codes, dp.w_int, dp.scale, dp.bias0,
                              out_dtype=self.dtype)
             if bos_aware and ctx.bos_aware and x.ndim >= 3:
-                # BoS token through the dequantized-FP path (the deploy
-                # analogue of bos_pre_computed, nn/Linear.py:178-194)
-                w_fp = (dp.w_int.astype(jnp.float32)
-                        * (dp.scale * dp.scale_inv)[None, :])
-                y0 = jnp.dot(x[..., :1, :].astype(jnp.float32), w_fp)
-                y = jnp.concatenate([y0.astype(self.dtype), y[..., 1:, :]],
-                                    axis=-2)
+                if dp.bos_out is not None:
+                    # precomputed BoS output (bos_pre_computed.pt analogue,
+                    # nn/Linear.py:178-194): broadcast over batch
+                    y0 = jnp.broadcast_to(
+                        dp.bos_out[None].astype(self.dtype),
+                        x.shape[:-2] + (1, dp.bos_out.shape[-1]))
+                else:
+                    # fall back to dequantized-FP matmul for the BoS token
+                    w_fp = (dp.w_int.astype(jnp.float32)
+                            * (dp.scale * dp.scale_inv)[None, :])
+                    y0 = jnp.dot(x[..., :1, :].astype(jnp.float32),
+                                 w_fp).astype(self.dtype)
+                y = jnp.concatenate([y0, y[..., 1:, :]], axis=-2)
             if bias is not None:
                 y = y + bias.astype(self.dtype)
             return y

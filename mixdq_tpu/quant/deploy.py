@@ -47,6 +47,7 @@ class DeployEntry:
 
     w_int: Optional[jnp.ndarray] = None
     w_packed: Optional[jnp.ndarray] = None  # uint8 halves-packed int4 codes
+    bos_out: Optional[jnp.ndarray] = None  # [1, N] precomputed BoS output
     scale: Optional[jnp.ndarray] = None
     bias0: Optional[jnp.ndarray] = None
     scale_inv: Optional[jnp.ndarray] = None
@@ -197,6 +198,31 @@ def deploy_unet_ctx(unet, variables, qparams, ctrl, wq: QuantSpec,
                 len(quantizable_layers(params)))
     return QuantCtx(qparams=None, ctrl=None, deploy=deploy, mode="int8",
                     wq=wq, aq=aq, bos_aware=bos_aware)
+
+
+def precompute_bos_outputs(deploy: Dict[str, Any], params: Dict[str, Any],
+                           bos_embedding: jnp.ndarray) -> Dict[str, Any]:
+    """Precompute the FP output of every deployed cross-attn k/v layer for
+    the BoS text token — the reference's offline ``bos_pre_computed.pt``
+    artifact (kernels/quantize_sdxl.py:512-520; consumed at
+    nn/Linear.py:178-194). Valid because CLIP's causal attention makes the
+    position-0 (BoS) encoder output prompt-independent.
+
+    ``bos_embedding``: [D] — ``encode_prompt(...)[0][:, 0]`` of any prompt.
+    Returns a new deploy dict with ``bos_out`` filled for to_k/to_v layers
+    of cross-attention (attn2)."""
+    layers = quantizable_layers(params)
+    out = dict(deploy)
+    for name, e in deploy.items():
+        if ".attn2.to_k" not in name and ".attn2.to_v" not in name:
+            continue
+        node = params
+        for p in layers[name]:
+            node = node[p]
+        w = node["kernel"].astype(jnp.float32)  # [D, N]
+        y0 = bos_embedding.astype(jnp.float32)[None, :] @ w  # [1, N]
+        out[name] = e.replace(bos_out=y0)
+    return out
 
 
 def deployed_params(variables, ctx: QuantCtx):

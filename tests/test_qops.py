@@ -243,3 +243,47 @@ def test_w4_packed_deploy_end_to_end():
     # per-layer parity is exact (see pack roundtrip tests); the residual
     # is bf16 rounding-order differences accumulating over 183 layers
     assert s > 12.0, f"W4-packed vs W4 fake SQNR too low: {s}"
+
+
+def test_bos_precompute_matches_fp_first_token():
+    from mixdq_tpu.models.configs import TINY_SDXL_UNET
+    from mixdq_tpu.models.unet import UNet2DConditionModel
+    from mixdq_tpu.quant import calibrate as cal
+    from mixdq_tpu.quant.core import QuantSpec
+    from mixdq_tpu.quant.deploy import (deploy_unet_ctx, deployed_params,
+                                        precompute_bos_outputs)
+    from mixdq_tpu.quant.state import quantizable_layers, uniform_ctrl
+
+    model = UNet2DConditionModel(TINY_SDXL_UNET)
+    B = 2
+    ehs = jax.random.normal(jax.random.PRNGKey(4), (B, 77, 128))
+    b0 = (jax.random.normal(jax.random.PRNGKey(3), (B, 16, 16, 4)),
+          jnp.full((B,), 999.0), ehs,
+          {"text_embeds": jnp.ones((B, 64)), "time_ids": jnp.ones((B, 6))})
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), *b0)
+    names = quantizable_layers(variables["params"])
+    WQ = QuantSpec(sym=True, channel_wise=True, round_mode="nearest")
+    AQ = QuantSpec(running_stat=True)
+    qparams = cal.calibrate(model, variables, [b0], WQ, AQ)
+    ctrl = uniform_ctrl(names, w_bits=8, a_bits=8)
+
+    ctx = deploy_unet_ctx(model, variables, qparams, ctrl, WQ, AQ,
+                          bos_aware=True)
+    # precomputed-BoS variant: bos embedding shared across the batch
+    bos_emb = ehs[0, 0]
+    ctx_pre = ctx.replace(deploy=precompute_bos_outputs(
+        ctx.deploy, variables["params"], bos_emb))
+    # make all rows share the same BoS embedding (as in real CLIP output)
+    ehs2 = ehs.at[:, 0, :].set(bos_emb)
+    b1 = (b0[0], b0[1], ehs2, b0[3])
+    pruned = deployed_params(variables, ctx)
+    out_fallback = jax.jit(lambda v, c, *a: model.apply(v, *a, c))(
+        pruned, ctx, *b1)
+    out_pre = jax.jit(lambda v, c, *a: model.apply(v, *a, c))(
+        pruned, ctx_pre, *b1)
+    from mixdq_tpu.utils.metrics import sqnr
+    s = float(sqnr(out_fallback, out_pre))
+    # differ by the W8 weight-quant error on the BoS row: the fallback
+    # dequantizes int8 weights, the precompute uses true FP weights (the
+    # reference's semantics, nn/Linear.py:178-194)
+    assert s > 20.0, f"BoS precompute vs fallback SQNR: {s}"
