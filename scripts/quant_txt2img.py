@@ -99,11 +99,21 @@ def main():
     ctx = build_quant_ctx(cfg, pipe, params, qparams, args)
     if args.backend == "int8":
         from mixdq_tpu.quant.deploy import (deploy_unet_ctx,
+                                            precompute_bos_outputs,
                                             prune_deployed_kernels)
         wq, aq, _ = specs_from_config(cfg)
+        bos_aware = cfg.inference.get("bos_aware", True)
         ctx = deploy_unet_ctx(
             pipe.unet, {"params": params["unet"]}, qparams, ctx.ctrl, wq, aq,
-            splits=pipe.splits, bos_aware=cfg.inference.get("bos_aware", True))
+            splits=pipe.splits, bos_aware=bos_aware)
+        if bos_aware:
+            # BoS encoder output is prompt-independent (causal attention):
+            # precompute per-layer k/v BoS outputs offline
+            import jax.numpy as jnp
+            tokens = jnp.asarray(pipe.tokenizer([""]))
+            embeds, _ = pipe.encode_prompt(params, tokens)
+            ctx = ctx.replace(deploy=precompute_bos_outputs(
+                ctx.deploy, params["unet"], embeds[0, 0]))
         params = {**params,
                   "unet": prune_deployed_kernels(params["unet"], ctx.deploy)}
 
