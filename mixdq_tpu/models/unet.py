@@ -27,9 +27,21 @@ from flax import linen as nn
 from ..quant.state import QuantCtx
 from .attention import Transformer2DModel
 from .configs import UNetConfig
+
+
 from .embeddings import TimestepEmbedding, timestep_sinusoidal
 from .layers import QConv
 from .resnet import Downsample2D, ResnetBlock2D, Upsample2D
+
+
+def _transformer_cls(remat: bool):
+    """Optionally remat the transformer stacks — the TPU counterpart of
+    the reference's gradient-checkpointing toggle (set_grad_ckpt,
+    quant_model.py:239-246; enabled for reconstruction memory,
+    scripts/ptq.py:95-97). Transformers hold most UNet activations."""
+    if remat:
+        return nn.remat(Transformer2DModel)
+    return Transformer2DModel
 
 
 class DownBlock2D(nn.Module):
@@ -40,6 +52,7 @@ class DownBlock2D(nn.Module):
     add_downsample: bool
     groups: int
     dtype: Any
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, temb, ctx):
@@ -70,6 +83,7 @@ class CrossAttnDownBlock2D(nn.Module):
     add_downsample: bool
     groups: int
     dtype: Any
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, temb, encoder_hidden_states, ctx):
@@ -79,7 +93,7 @@ class CrossAttnDownBlock2D(nn.Module):
             x = ResnetBlock2D(in_ch, self.out_channels, self.temb_channels,
                               groups=self.groups, dtype=self.dtype,
                               name=f"resnets_{i}")(x, temb, ctx)
-            x = Transformer2DModel(
+            x = _transformer_cls(self.remat)(
                 self.out_channels, self.heads, self.head_dim,
                 self.transformer_layers, self.cross_attention_dim,
                 use_linear_projection=self.use_linear_projection,
@@ -103,13 +117,14 @@ class UNetMidBlock2DCrossAttn(nn.Module):
     use_linear_projection: bool
     groups: int
     dtype: Any
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, temb, encoder_hidden_states, ctx):
         x = ResnetBlock2D(self.channels, self.channels, self.temb_channels,
                           groups=self.groups, dtype=self.dtype,
                           name="resnets_0")(x, temb, ctx)
-        x = Transformer2DModel(
+        x = _transformer_cls(self.remat)(
             self.channels, self.heads, self.head_dim, self.transformer_layers,
             self.cross_attention_dim,
             use_linear_projection=self.use_linear_projection,
@@ -163,6 +178,7 @@ class CrossAttnUpBlock2D(nn.Module):
     add_upsample: bool
     groups: int
     dtype: Any
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, skips, temb, encoder_hidden_states, ctx):
@@ -174,7 +190,7 @@ class CrossAttnUpBlock2D(nn.Module):
                               self.temb_channels, groups=self.groups,
                               dtype=self.dtype, name=f"resnets_{i}")(
                 x, temb, ctx, split=split)
-            x = Transformer2DModel(
+            x = _transformer_cls(self.remat)(
                 self.out_channels, self.heads, self.head_dim,
                 self.transformer_layers, self.cross_attention_dim,
                 use_linear_projection=self.use_linear_projection,
@@ -208,6 +224,7 @@ def conv_shortcut_splits(cfg: UNetConfig) -> Dict[str, int]:
 class UNet2DConditionModel(nn.Module):
     config: UNetConfig
     dtype: Any = jnp.float32
+    remat: bool = False  # checkpoint transformer stacks (training memory)
 
     def _heads_and_dim(self, block_idx: int) -> Tuple[int, int]:
         cfg = self.config
@@ -277,7 +294,8 @@ class UNet2DConditionModel(nn.Module):
                     cfg.transformer_layers_per_block[i], heads, head_dim,
                     cfg.cross_attention_dim, cfg.use_linear_projection,
                     add_downsample=not is_final, groups=cfg.norm_num_groups,
-                    dtype=self.dtype, name=f"down_blocks_{i}",
+                    dtype=self.dtype, remat=self.remat,
+                    name=f"down_blocks_{i}",
                 )(h, emb, encoder_hidden_states, ctx)
             elif btype == "DownBlock2D":
                 h, s = DownBlock2D(
@@ -295,7 +313,8 @@ class UNet2DConditionModel(nn.Module):
             cfg.block_out_channels[-1], cfg.time_embed_dim,
             cfg.transformer_layers_per_block[-1], heads, head_dim,
             cfg.cross_attention_dim, cfg.use_linear_projection,
-            groups=cfg.norm_num_groups, dtype=self.dtype, name="mid_block",
+            groups=cfg.norm_num_groups, dtype=self.dtype, remat=self.remat,
+            name="mid_block",
         )(h, emb, encoder_hidden_states, ctx)
 
         # 6. up blocks (reversed channel order)
@@ -316,7 +335,8 @@ class UNet2DConditionModel(nn.Module):
                     cfg.transformer_layers_per_block[tf_idx], heads, head_dim,
                     cfg.cross_attention_dim, cfg.use_linear_projection,
                     add_upsample=not is_final, groups=cfg.norm_num_groups,
-                    dtype=self.dtype, name=f"up_blocks_{i}",
+                    dtype=self.dtype, remat=self.remat,
+                    name=f"up_blocks_{i}",
                 )(h, block_skips, emb, encoder_hidden_states, ctx)
             elif btype == "UpBlock2D":
                 h = UpBlock2D(
