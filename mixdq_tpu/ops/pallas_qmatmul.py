@@ -92,12 +92,9 @@ def qmatmul(
     if bias is not None:
         in_specs.append(vec_spec)
         args.append(bias.reshape(1, -1))
-        kernel = _kernel
-    else:
-        kernel = functools.partial(_bias_none_kernel)
 
     out = pl.pallas_call(
-        kernel if bias is not None else _bias_none_kernel,
+        _kernel if bias is not None else _bias_none_kernel,
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j),
