@@ -148,13 +148,22 @@ def main():
         log(f"{m} UNet: {statistics.median(times[m]):.2f} ms/step "
             f"(median speedup {med[m]:.3f}x)")
 
-    mem = None
+    # memory accounting via XLA buffer assignment (device memory_stats is
+    # unavailable through the axon tunnel)
     try:
-        stats = jax.local_devices()[0].memory_stats()
-        mem = stats.get("peak_bytes_in_use", 0) / 1e6
-        log(f"peak HBM: {mem:.0f} MB")
-    except Exception:
-        pass
+        best_vars, best_ctx = variants[backend]
+        cf = jax.jit(q_fn).lower(sample, best_vars, best_ctx, t, ehs,
+                                 added).compile()
+        ma = cf.memory_analysis()
+        log(f"{backend} memory: args {ma.argument_size_in_bytes/1e6:.0f} MB, "
+            f"temps {ma.temp_size_in_bytes/1e6:.0f} MB, "
+            f"peak {ma.peak_memory_in_bytes/1e6:.0f} MB")
+        cf0 = jax.jit(fp_fn).lower(sample, variables, t, ehs, added).compile()
+        ma0 = cf0.memory_analysis()
+        log(f"bf16 memory: args {ma0.argument_size_in_bytes/1e6:.0f} MB, "
+            f"peak {ma0.peak_memory_in_bytes/1e6:.0f} MB")
+    except Exception as e:
+        log(f"memory analysis unavailable: {e}")
 
     print(json.dumps({
         "metric": f"{family_name} UNet W8A8({backend}) ms/step (B={B})",

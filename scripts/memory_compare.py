@@ -60,13 +60,22 @@ def unet_mem(family, B, quant=None, w_bits=8):
         variables = jax.device_put(deployed_params(variables, ctx))
 
     fn = jax.jit(lambda v, c: unet.apply(v, sample, t, ehs, added, c))
-    jax.block_until_ready(variables)
-    static = device_memory_stats()["bytes_in_use_mb"]
-    out = fn(variables, ctx)
-    jax.block_until_ready(out)
-    peak = device_memory_stats()["peak_bytes_in_use_mb"]
-    del variables, out
-    return static, max(peak - static, 0.0), peak
+    # device memory_stats is unavailable on some backends (returns zeros
+    # via the axon tunnel); XLA's compiled memory analysis is exact and
+    # backend-independent: static = argument buffers (weights + deploy
+    # constants), dynamic = temporaries, peak from buffer assignment.
+    compiled = fn.lower(variables, ctx).compile()
+    ma = compiled.memory_analysis()
+    static = ma.argument_size_in_bytes / 1e6
+    dynamic = ma.temp_size_in_bytes / 1e6
+    peak = ma.peak_memory_in_bytes / 1e6
+    live = device_memory_stats()
+    if live.get("peak_bytes_in_use_mb"):
+        out = fn(variables, ctx)
+        jax.block_until_ready(out)
+        live = device_memory_stats()
+        peak = max(peak, live["peak_bytes_in_use_mb"])
+    return static, dynamic, peak
 
 
 def main():
