@@ -32,7 +32,7 @@ def log(*a):
 def main():
     family_name = os.environ.get("MIXDQ_BENCH_FAMILY", "sdxl-turbo")
     B = int(os.environ.get("MIXDQ_BENCH_BATCH", "1"))
-    iters = int(os.environ.get("MIXDQ_BENCH_ITERS", "20"))
+    iters = int(os.environ.get("MIXDQ_BENCH_ITERS", "10"))
     backend = os.environ.get("MIXDQ_BENCH_BACKEND", "auto")
 
     from mixdq_tpu.models.configs import get_family
