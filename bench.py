@@ -149,8 +149,11 @@ def main():
             f"(median speedup {med[m]:.3f}x)")
 
     # memory accounting via XLA buffer assignment (device memory_stats is
-    # unavailable through the axon tunnel)
+    # unavailable through the axon tunnel); costs two extra compiles, so
+    # opt-in to keep the default bench runtime bounded
     try:
+        if os.environ.get("MIXDQ_BENCH_MEM", "0") != "1":
+            raise RuntimeError("set MIXDQ_BENCH_MEM=1 to enable")
         best_vars, best_ctx = variants[backend]
         cf = jax.jit(q_fn).lower(sample, best_vars, best_ctx, t, ehs,
                                  added).compile()
