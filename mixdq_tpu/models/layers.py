@@ -56,14 +56,18 @@ class QDense(nn.Module):
     features: int
     use_bias: bool = True
     dtype: Any = jnp.float32
-    param_dtype: Any = jnp.float32
+    # None => params stored in the compute dtype (bf16-resident weights,
+    # matching the reference's fp16 checkpoints; fp32 storage would double
+    # weight HBM traffic and unfairly slow the FP baseline)
+    param_dtype: Any = None
 
     @nn.compact
     def __call__(self, x, ctx: QuantCtx = QuantCtx(), bos_aware: bool = False):
         name = canonical_name(self.path)
         in_features = x.shape[-1]
+        pdt = self.param_dtype or self.dtype
         bias = (
-            self.param("bias", nn.initializers.zeros, (self.features,), self.param_dtype)
+            self.param("bias", nn.initializers.zeros, (self.features,), pdt)
             if self.use_bias
             else None
         )
@@ -142,7 +146,7 @@ class QDense(nn.Module):
 
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(), (in_features, self.features),
-            self.param_dtype,
+            pdt,
         )
         if ctx.collect_stats:
             _sow_act_stats(self, name, x)
@@ -180,15 +184,16 @@ class QConv(nn.Module):
     padding: Union[int, Tuple[int, int]] = 0
     use_bias: bool = True
     dtype: Any = jnp.float32
-    param_dtype: Any = jnp.float32
+    param_dtype: Any = None  # None => compute dtype (see QDense)
 
     @nn.compact
     def __call__(self, x, ctx: QuantCtx = QuantCtx(), split: int = 0):
         name = canonical_name(self.path)
         in_features = x.shape[-1]
         kh, kw = self.kernel_size
+        pdt = self.param_dtype or self.dtype
         bias = (
-            self.param("bias", nn.initializers.zeros, (self.features,), self.param_dtype)
+            self.param("bias", nn.initializers.zeros, (self.features,), pdt)
             if self.use_bias
             else None
         )
@@ -204,7 +209,7 @@ class QConv(nn.Module):
 
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(),
-            (kh, kw, in_features, self.features), self.param_dtype,
+            (kh, kw, in_features, self.features), pdt,
         )
         if ctx.collect_stats:
             if split:
