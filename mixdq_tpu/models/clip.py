@@ -36,9 +36,9 @@ class CLIPAttention(nn.Module):
     def __call__(self, x, causal_mask):
         c = self.cfg
         head_dim = c.hidden_size // c.num_heads
-        q = nn.Dense(c.hidden_size, dtype=self.dtype, name="q_proj")(x)
-        k = nn.Dense(c.hidden_size, dtype=self.dtype, name="k_proj")(x)
-        v = nn.Dense(c.hidden_size, dtype=self.dtype, name="v_proj")(x)
+        q = nn.Dense(c.hidden_size, dtype=self.dtype, param_dtype=self.dtype, name="q_proj")(x)
+        k = nn.Dense(c.hidden_size, dtype=self.dtype, param_dtype=self.dtype, name="k_proj")(x)
+        v = nn.Dense(c.hidden_size, dtype=self.dtype, param_dtype=self.dtype, name="v_proj")(x)
         B, T, _ = x.shape
         q = q.reshape(B, T, c.num_heads, head_dim)
         k = k.reshape(B, T, c.num_heads, head_dim)
@@ -47,7 +47,7 @@ class CLIPAttention(nn.Module):
         logits = logits + causal_mask[None, None, :, :]
         probs = nn.softmax(logits.astype(jnp.float32), axis=-1).astype(self.dtype)
         out = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(B, T, c.hidden_size)
-        return nn.Dense(c.hidden_size, dtype=self.dtype, name="out_proj")(out)
+        return nn.Dense(c.hidden_size, dtype=self.dtype, param_dtype=self.dtype, name="out_proj")(out)
 
 
 class CLIPEncoderLayer(nn.Module):
@@ -61,9 +61,9 @@ class CLIPEncoderLayer(nn.Module):
         h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="layer_norm1")(x)
         x = x + CLIPAttention(c, dtype=self.dtype, name="self_attn")(h, causal_mask)
         h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="layer_norm2")(x)
-        h = nn.Dense(c.intermediate_size, dtype=self.dtype, name="fc1")(h)
+        h = nn.Dense(c.intermediate_size, dtype=self.dtype, param_dtype=self.dtype, name="fc1")(h)
         h = act(h)
-        h = nn.Dense(c.hidden_size, dtype=self.dtype, name="fc2")(h)
+        h = nn.Dense(c.hidden_size, dtype=self.dtype, param_dtype=self.dtype, name="fc2")(h)
         return x + h
 
 
@@ -81,7 +81,7 @@ class CLIPTextModel(nn.Module):
     def __call__(self, input_ids: jnp.ndarray):
         c = self.cfg
         B, T = input_ids.shape
-        tok = nn.Embed(c.vocab_size, c.hidden_size, dtype=self.dtype,
+        tok = nn.Embed(c.vocab_size, c.hidden_size, dtype=self.dtype, param_dtype=self.dtype,
                        name="token_embedding")(input_ids)
         pos = self.param("position_embedding",
                          nn.initializers.normal(0.01),
@@ -104,5 +104,5 @@ class CLIPTextModel(nn.Module):
         pooled = last[jnp.arange(B), eos_idx]
         if c.projection_dim is not None:
             pooled = nn.Dense(c.projection_dim, use_bias=False,
-                              dtype=self.dtype, name="text_projection")(pooled)
+                              dtype=self.dtype, param_dtype=self.dtype, name="text_projection")(pooled)
         return last, penultimate, pooled

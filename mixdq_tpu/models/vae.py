@@ -26,16 +26,16 @@ class VAEResnetBlock(nn.Module):
         h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6,
                          dtype=self.dtype, name="norm1")(x)
         h = nn.silu(h)
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, param_dtype=self.dtype,
                     name="conv1")(h)
         h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6,
                          dtype=self.dtype, name="norm2")(h)
         h = nn.silu(h)
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, param_dtype=self.dtype,
                     name="conv2")(h)
         if in_ch != self.out_channels:
             x = nn.Conv(self.out_channels, (1, 1), use_bias=True,
-                        dtype=self.dtype, name="conv_shortcut")(x)
+                        dtype=self.dtype, param_dtype=self.dtype, name="conv_shortcut")(x)
         return x + h
 
 
@@ -50,13 +50,13 @@ class VAEAttention(nn.Module):
         h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6,
                          dtype=self.dtype, name="group_norm")(x)
         h = h.reshape(B, H * W, C)
-        q = nn.Dense(C, dtype=self.dtype, name="to_q")(h)
-        k = nn.Dense(C, dtype=self.dtype, name="to_k")(h)
-        v = nn.Dense(C, dtype=self.dtype, name="to_v")(h)
+        q = nn.Dense(C, dtype=self.dtype, param_dtype=self.dtype, name="to_q")(h)
+        k = nn.Dense(C, dtype=self.dtype, param_dtype=self.dtype, name="to_k")(h)
+        v = nn.Dense(C, dtype=self.dtype, param_dtype=self.dtype, name="to_v")(h)
         logits = jnp.einsum("bqc,bkc->bqk", q, k) * C**-0.5
         probs = nn.softmax(logits.astype(jnp.float32), axis=-1).astype(self.dtype)
         o = jnp.einsum("bqk,bkc->bqc", probs, v)
-        o = nn.Dense(C, dtype=self.dtype, name="to_out_0")(o)
+        o = nn.Dense(C, dtype=self.dtype, param_dtype=self.dtype, name="to_out_0")(o)
         return x + o.reshape(B, H, W, C)
 
 
@@ -84,7 +84,7 @@ class VAEDecoder(nn.Module):
     def __call__(self, z):
         cfg = self.cfg
         ch = list(reversed(cfg.block_out_channels))  # e.g. (512,512,256,128)
-        h = nn.Conv(ch[0], (3, 3), padding=1, dtype=self.dtype, name="conv_in")(z)
+        h = nn.Conv(ch[0], (3, 3), padding=1, dtype=self.dtype, param_dtype=self.dtype, name="conv_in")(z)
         h = VAEMidBlock(ch[0], cfg.norm_num_groups, dtype=self.dtype,
                         name="mid_block")(h)
         n = len(ch)
@@ -95,13 +95,13 @@ class VAEDecoder(nn.Module):
             if i != n - 1:
                 B, H, W, C = h.shape
                 h = jax.image.resize(h, (B, H * 2, W * 2, C), method="nearest")
-                h = nn.Conv(C, (3, 3), padding=1, dtype=self.dtype,
+                h = nn.Conv(C, (3, 3), padding=1, dtype=self.dtype, param_dtype=self.dtype,
                             name=f"up_blocks_{i}_upsampler")(h)
         h = nn.GroupNorm(num_groups=cfg.norm_num_groups, epsilon=1e-6,
                          dtype=self.dtype, name="conv_norm_out")(h)
         h = nn.silu(h)
         return nn.Conv(cfg.sample_channels, (3, 3), padding=1,
-                       dtype=self.dtype, name="conv_out")(h)
+                       dtype=self.dtype, param_dtype=self.dtype, name="conv_out")(h)
 
 
 class VAEEncoder(nn.Module):
@@ -112,21 +112,21 @@ class VAEEncoder(nn.Module):
     def __call__(self, x):
         cfg = self.cfg
         ch = cfg.block_out_channels
-        h = nn.Conv(ch[0], (3, 3), padding=1, dtype=self.dtype, name="conv_in")(x)
+        h = nn.Conv(ch[0], (3, 3), padding=1, dtype=self.dtype, param_dtype=self.dtype, name="conv_in")(x)
         for i in range(len(ch)):
             for j in range(cfg.layers_per_block):
                 h = VAEResnetBlock(ch[i], cfg.norm_num_groups, dtype=self.dtype,
                                    name=f"down_blocks_{i}_resnets_{j}")(h)
             if i != len(ch) - 1:
                 h = nn.Conv(ch[i], (3, 3), strides=(2, 2), padding=1,
-                            dtype=self.dtype, name=f"down_blocks_{i}_downsampler")(h)
+                            dtype=self.dtype, param_dtype=self.dtype, name=f"down_blocks_{i}_downsampler")(h)
         h = VAEMidBlock(ch[-1], cfg.norm_num_groups, dtype=self.dtype,
                         name="mid_block")(h)
         h = nn.GroupNorm(num_groups=cfg.norm_num_groups, epsilon=1e-6,
                          dtype=self.dtype, name="conv_norm_out")(h)
         h = nn.silu(h)
         return nn.Conv(cfg.latent_channels * 2, (3, 3), padding=1,
-                       dtype=self.dtype, name="conv_out")(h)
+                       dtype=self.dtype, param_dtype=self.dtype, name="conv_out")(h)
 
 
 class AutoencoderKL(nn.Module):
@@ -137,9 +137,9 @@ class AutoencoderKL(nn.Module):
         self.encoder = VAEEncoder(self.cfg, dtype=self.dtype)
         self.decoder = VAEDecoder(self.cfg, dtype=self.dtype)
         self.quant_conv = nn.Conv(self.cfg.latent_channels * 2, (1, 1),
-                                  dtype=self.dtype)
+                                  dtype=self.dtype, param_dtype=self.dtype)
         self.post_quant_conv = nn.Conv(self.cfg.latent_channels, (1, 1),
-                                       dtype=self.dtype)
+                                       dtype=self.dtype, param_dtype=self.dtype)
 
     def encode(self, x, rng=None):
         """Returns latent sample (mode if rng is None) pre-scaled by
