@@ -8,3 +8,14 @@ int8 Pallas MXU kernels with fused dequant epilogues.
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+if _os.environ.get("MIXDQ_PLATFORM"):
+    # Reliable platform override: some images pin jax_platforms at
+    # interpreter startup (sitecustomize), making the JAX_PLATFORMS env
+    # var ineffective; this config update is honored as long as no
+    # backend has been initialized yet.
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["MIXDQ_PLATFORM"])

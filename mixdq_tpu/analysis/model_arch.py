@@ -5,7 +5,7 @@ shapes to text, diff two dumps."""
 
 from __future__ import annotations
 
-from typing import Dict, List, Tuple
+from typing import Dict, List
 
 from ..quant.state import get_layer_kernel, quantizable_layers
 

@@ -19,14 +19,14 @@ writes them as the reference's ``sensitivity.yaml`` shape.
 from __future__ import annotations
 
 import logging
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Sequence
 
 import jax
 import jax.numpy as jnp
 
 from ..quant.core import QuantSpec, fake_quant
 from ..quant.state import (QuantCtx, get_layer_kernel, group_ctrl,
-                           quantizable_layers, solo_layer_ctrl)
+                           quantizable_layers)
 from ..utils.metrics import mse, sqnr
 
 logger = logging.getLogger(__name__)

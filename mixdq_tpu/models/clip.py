@@ -16,7 +16,7 @@ projected EOS-token embedding of encoder 2.
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import jax.numpy as jnp
 from flax import linen as nn

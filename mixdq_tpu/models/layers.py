@@ -20,7 +20,7 @@ Here ``split`` is a static call argument supplied by the up-block forward
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence, Tuple, Union
+from typing import Any, Tuple, Union
 
 import jax
 import jax.numpy as jnp

@@ -6,7 +6,7 @@ inputs (quant_block.py:163-166; quant_block_forward_func.py:97-99)."""
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp

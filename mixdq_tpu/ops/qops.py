@@ -32,10 +32,8 @@ variant lives in ``ops/pallas_qmatmul.py`` for comparison/bench.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
-import jax
 import jax.numpy as jnp
 from jax import lax
 

@@ -11,7 +11,6 @@ import jax
 import jax.numpy as jnp
 
 from ..quant.core import QuantSpec
-from ..quant.state import QuantCtx
 from ..utils.config import Config
 from .txt2img import Text2ImgPipeline
 

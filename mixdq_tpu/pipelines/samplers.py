@@ -17,10 +17,9 @@ kernels/quantize_sdxl.py:184-286, falls out of jit for free).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 
 

@@ -27,8 +27,8 @@ from typing import Any, Callable, Dict, Iterable, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from .core import QuantSpec, fit_qparams_multibit, fit_weight_qparams, tensor_minmax
-from .state import LayerQParams, canonical_name, get_layer_kernel, quantizable_layers
+from .core import QuantSpec, fit_qparams_multibit, fit_weight_qparams
+from .state import LayerQParams, get_layer_kernel, quantizable_layers
 
 
 # ---------------------------------------------------------------------------

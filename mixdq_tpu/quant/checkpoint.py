@@ -14,7 +14,6 @@ from __future__ import annotations
 import os
 from typing import Any, Dict
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import serialization

@@ -34,8 +34,7 @@ floor element-wise with ``jnp.maximum(delta, eps)``.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

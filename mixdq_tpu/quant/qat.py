@@ -6,14 +6,14 @@ mixdq_tpu/parallel/mesh.py) — used by the multi-chip dryrun."""
 
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
 import optax
 
-from .core import QuantSpec, EPS
-from .state import LayerQParams, QuantCtx, make_ctrl
+from .core import QuantSpec
+from .state import QuantCtx
 
 
 def make_qat_train_step(model, wq: QuantSpec, aq: QuantSpec,

@@ -33,7 +33,6 @@ from __future__ import annotations
 import re
 from typing import Any, Dict, Optional, Sequence, Tuple
 
-import jax
 import jax.numpy as jnp
 from flax import struct
 

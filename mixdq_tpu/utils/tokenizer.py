@@ -8,7 +8,6 @@ deterministic hash tokenizer for offline tests.
 from __future__ import annotations
 
 import functools
-import gzip
 import html
 import json
 import os
