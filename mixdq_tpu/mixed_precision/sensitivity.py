@@ -23,7 +23,7 @@ from typing import Dict, Iterable, List, Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..quant.state import QuantCtx, solo_layer_ctrl
+from ..quant.state import QuantCtx, group_ctrl
 from ..utils.metrics import sqnr, ssim
 
 logger = logging.getLogger(__name__)
@@ -66,8 +66,11 @@ def sweep_sqnr(
     for li, name in enumerate(layer_names):
         vals = []
         for b in bits:
-            ctrl = solo_layer_ctrl(all_names, name, which, b,
-                                   candidate_bits=wq.candidate_bits)
+            # exact layer name or block prefix (group/block-granularity
+            # sweeps, the reference's SSIM_Group/SSIM_Lower_Block,
+            # analysis_tools quant_content.py:212-281)
+            ctrl = group_ctrl(all_names, [name], which, b,
+                              candidate_bits=wq.candidate_bits)
             vals.append(float(run(ctrl, *calib_batch)))
         out[name] = vals
         if li % 20 == 0:
@@ -98,8 +101,8 @@ def sweep_sqnr_batched(
     points = [(n, b) for n in layer_names for b in bits]
 
     def make_ctrl_point(name, b):
-        return solo_layer_ctrl(all_names, name, which, b,
-                               candidate_bits=wq.candidate_bits)
+        return group_ctrl(all_names, [name], which, b,
+                          candidate_bits=wq.candidate_bits)
 
     @jax.jit
     def run_chunk(ctrl_stack, *batch):
@@ -159,8 +162,8 @@ def sweep_ssim(
     for li, name in enumerate(layer_names):
         vals = []
         for b in bits:
-            ctrl = solo_layer_ctrl(all_names, name, which, b,
-                                   candidate_bits=wq.candidate_bits)
+            ctrl = group_ctrl(all_names, [name], which, b,
+                              candidate_bits=wq.candidate_bits)
             ctx = QuantCtx(qparams=qparams, ctrl=ctrl, mode="fake",
                            wq=wq, aq=aq)
             q = pipe(params, prompts, key, num_inference_steps=num_steps,
