@@ -177,7 +177,9 @@ class Text2ImgPipeline:
                 if do_cfg:
                     eps_u, eps_c = jnp.split(eps, 2, axis=0)
                     eps = eps_u + guidance_scale * (eps_c - eps_u)
-                new_lat = samplers.euler_step(lat, eps, sigma, sigma_next)
+                # sigma arithmetic is f32; keep the scan carry dtype stable
+                new_lat = samplers.euler_step(lat, eps, sigma,
+                                              sigma_next).astype(lat.dtype)
                 out = (lat_in, eps) if capture else None
                 return new_lat, out
 
@@ -212,7 +214,8 @@ class Text2ImgPipeline:
                     lat, eps, a_t, a_p, t, nz,
                     timestep_scaling=schedule.timestep_scaling,
                     sigma_data=schedule.sigma_data)
-                new_lat = jnp.where(i == S - 1, denoised, nxt)
+                new_lat = jnp.where(i == S - 1, denoised,
+                                    nxt).astype(lat.dtype)
                 out = (lat, eps) if capture else None
                 return new_lat, out
 
