@@ -73,3 +73,16 @@ def test_cfg_guidance_runs():
                num_inference_steps=1, guidance_scale=5.0, decode=False)
     assert out.latents.shape == (1, 16, 16, 4)
     assert np.isfinite(np.asarray(out.latents)).all()
+
+
+def test_tiny_end_to_end_bf16():
+    """bf16 pipeline (production dtype) — guards scan-carry dtype
+    stability and bf16 numerics through the whole stack."""
+    import jax.numpy as jnp
+
+    pipe = Text2ImgPipeline("tiny-sdxl", dtype=jnp.bfloat16)
+    params = pipe.init_params(jax.random.PRNGKey(0))
+    out = pipe(params, ["a photo"], jax.random.PRNGKey(1),
+               num_inference_steps=2)
+    assert out.images.shape == (1, 128, 128, 3)
+    assert np.isfinite(out.images).all()
