@@ -4,7 +4,6 @@ properties, end-to-end sweep on the tiny model."""
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from mixdq_tpu.mixed_precision import ilp, sensitivity
 

@@ -186,7 +186,7 @@ def test_dequant_mode_matches_weight_only_fake_quant():
 def test_w4_deploy_uses_int4_storage():
     from mixdq_tpu.ops import qops as _q
     import jax.numpy as jnp
-    from mixdq_tpu.quant.deploy import build_deploy_params, DeployEntry
+    from mixdq_tpu.quant.deploy import build_deploy_params
     from mixdq_tpu.quant.state import LayerQParams
 
     w = jax.random.normal(jax.random.PRNGKey(0), (16, 8))

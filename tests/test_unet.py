@@ -11,7 +11,6 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from mixdq_tpu.models.configs import (SDXL_TURBO_UNET, TINY_SD15_UNET,
                                       TINY_SDXL_UNET)

@@ -1,8 +1,6 @@
 """Unit tests for utils: tokenizer (BPE with real files + fallback),
 config, prompts, model-arch dump/diff, election."""
 
-import numpy as np
-import pytest
 
 from mixdq_tpu.utils import prompts as prompts_mod
 from mixdq_tpu.utils.config import Config, load_config, merge, save_config
