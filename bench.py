@@ -93,9 +93,10 @@ def main():
     # quantized path
     wq = QuantSpec(sym=True, channel_wise=True, round_mode="nearest")
     aq = QuantSpec(running_stat=True)
+    w_bits = int(os.environ.get("MIXDQ_BENCH_WBITS", "8"))
     names = quantizable_layers(variables["params"])
     qparams = cal.calibrate(unet, variables, [(sample, t, ehs, added)], wq, aq)
-    ctrl = uniform_ctrl(names, w_bits=8, a_bits=8)
+    ctrl = uniform_ctrl(names, w_bits=w_bits, a_bits=8)
 
     q_fn = lambda s, v, c, tt, e, a: unet.apply(v, s, tt, e, a, c)
 
@@ -112,7 +113,8 @@ def main():
             # dequant mode keeps spatial convs FP (convert fuses into
             # matmuls but not convs; dense = 87% of SDXL weights)
             ctx = deploy_unet_ctx(unet, variables, qparams, ctrl, wq, aq,
-                                  skip_spatial_convs=(m == "dequant"))
+                                  skip_spatial_convs=(m == "dequant"),
+                                  pack_w4=(w_bits == 4 and m == "dequant"))
             ctx = ctx.replace(deploy_compute=m)
             q_vars = jax.device_put(deployed_params(variables, ctx))
             variants[m] = (q_vars, ctx)
@@ -169,7 +171,7 @@ def main():
         log(f"memory analysis unavailable: {e}")
 
     print(json.dumps({
-        "metric": f"{family_name} UNet W8A8({backend}) ms/step (B={B})",
+        "metric": f"{family_name} UNet W{w_bits}A8({backend}) ms/step (B={B})",
         "value": round(q_ms, 2),
         "unit": "ms",
         "vs_baseline": round(fp_ms / q_ms, 3),
