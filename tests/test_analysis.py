@@ -3,7 +3,7 @@ weight stats, act error capture."""
 
 import jax
 import jax.numpy as jnp
-import numpy as np
+import pytest
 
 from mixdq_tpu.analysis import quant_error
 from mixdq_tpu.models.configs import TINY_SDXL_UNET
@@ -16,7 +16,8 @@ WQ = QuantSpec(sym=True, channel_wise=True, round_mode="nearest")
 AQ = QuantSpec(running_stat=True)
 
 
-def _setup():
+@pytest.fixture(scope="module")
+def setup():
     model = UNet2DConditionModel(TINY_SDXL_UNET)
     B = 1
     b0 = (jax.random.normal(jax.random.PRNGKey(9), (B, 16, 16, 4)),
@@ -28,8 +29,8 @@ def _setup():
     return model, variables, qparams, b0
 
 
-def test_unet_output_error_layer_and_block():
-    model, variables, qparams, b0 = _setup()
+def test_unet_output_error_layer_and_block(setup):
+    model, variables, qparams, b0 = setup
     names = sorted(quantizable_layers(variables["params"]))
     fp_out = jax.jit(model.apply)(variables, *b0)
     # one layer + one block prefix
@@ -45,8 +46,8 @@ def test_unet_output_error_layer_and_block():
     assert res["down_blocks.0"]["sqnr"][0] <= res[names[0]]["sqnr"][0] + 1.0
 
 
-def test_weight_error_and_stats():
-    model, variables, qparams, b0 = _setup()
+def test_weight_error_and_stats(setup):
+    model, variables, qparams, b0 = setup
     names = sorted(quantizable_layers(variables["params"]))[:3]
     we = quant_error.weight_error(variables["params"], qparams, names, WQ)
     for n in names:
@@ -58,8 +59,8 @@ def test_weight_error_and_stats():
         assert "kurtosis" in stats[n]
 
 
-def test_act_error_capture():
-    model, variables, qparams, b0 = _setup()
+def test_act_error_capture(setup):
+    model, variables, qparams, b0 = setup
     names = sorted(quantizable_layers(variables["params"]))[:3]
     res = quant_error.act_error(model, variables, qparams, names, b0, AQ,
                                 bits=(4, 8))
