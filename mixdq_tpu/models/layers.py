@@ -123,9 +123,22 @@ class QDense(nn.Module):
                 if bias is not None:
                     y = y + bias.astype(self.dtype)
                 return y
-            codes = qops.quantize_per_tensor(x, dp.scale_inv, dp.zp_shifted)
-            y = qops.qlinear(codes, dp.w_int, dp.scale, dp.bias0,
-                             out_dtype=self.dtype)
+            if (ctx.deploy_compute == "fused_int8"
+                    and jax.default_backend() != "cpu"):
+                # act-quantize fused into the GEMM (saves the per-layer
+                # clamp/convert HBM round-trip, ~13% of the int8 step)
+                from ..ops.pallas_qmatmul import qmatmul_fused
+
+                lead = x.shape[:-1]
+                y2 = qmatmul_fused(x.reshape(-1, x.shape[-1]), dp.w_int,
+                                   dp.scale_inv, dp.zp_shifted, dp.scale,
+                                   dp.bias0, out_dtype=self.dtype)
+                y = y2.reshape(*lead, y2.shape[-1])
+            else:
+                codes = qops.quantize_per_tensor(x, dp.scale_inv,
+                                                 dp.zp_shifted)
+                y = qops.qlinear(codes, dp.w_int, dp.scale, dp.bias0,
+                                 out_dtype=self.dtype)
             if bos_aware and ctx.bos_aware and x.ndim >= 3:
                 if dp.bos_out is not None:
                     # precomputed BoS output (bos_pre_computed.pt analogue,
