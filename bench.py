@@ -108,7 +108,7 @@ def main():
     if backend in ("int8", "fused_int8", "dequant", "auto"):
         from mixdq_tpu.quant.deploy import deploy_unet_ctx, deployed_params
         modes = ([backend] if backend in ("int8", "fused_int8", "dequant")
-                 else ["int8", "fused_int8", "dequant"])
+                 else ["int8", "dequant"])
         for m in modes:
             # dequant mode keeps spatial convs FP (convert fuses into
             # matmuls but not convs; dense = 87% of SDXL weights)
