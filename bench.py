@@ -62,33 +62,49 @@ def main():
     jax.block_until_ready(variables)
     log(f"init: {time.time()-t0:.1f}s")
 
-    def timeit(fn, *args):
-        """Chained timing: each step consumes the previous step's output
-        (UNet in/out shapes match), so executions form a true dependency
-        chain — immune to any result caching or overlap in the remote
-        execution path, and representative of the real sampler loop."""
+    inner = int(os.environ.get("MIXDQ_BENCH_INNER", "8"))
+
+    def make_runner(fn):
+        """Jit a runner of ``inner`` chained steps: each step consumes the
+        previous step's output (UNet in/out shapes match), so executions
+        form a true dependency chain — immune to any result caching or
+        overlap in the remote execution path, and representative of the
+        real sampler loop. The chain runs INSIDE one jit (lax.scan) so
+        the per-dispatch overhead of the remote TPU tunnel (~2 ms/call)
+        is amortized to ~2/inner ms. Jitted ONCE per variant (a fresh
+        closure per measurement would recompile the UNet every round)."""
         def chained(s, *rest):
             out = fn(s, *rest)
-            # keep the chained values bounded so 20 random-weight UNet
-            # applications can't overflow
+            # keep the chained values bounded so repeated random-weight
+            # UNet applications can't overflow
             return (out / (1.0 + jnp.abs(out))).astype(s.dtype)
 
-        cf = jax.jit(chained)
+        def scan_fn(s, *rest):
+            def body(c, _):
+                return chained(c, *rest), ()
+            s, _ = jax.lax.scan(body, s, None, length=inner)
+            return s
+
+        return jax.jit(scan_fn)
+
+    def timeit(cf, *args):
         s = args[0]
         rest = args[1:]
-        s = cf(s, *rest)  # compile
+        s = cf(s, *rest)  # compile (cached after the first round)
         jax.block_until_ready(s)
-        for _ in range(3):
-            s = cf(s, *rest)
+        s = cf(s, *rest)
         jax.block_until_ready(s)
         t0 = time.time()
         for _ in range(iters):
             s = cf(s, *rest)
         jax.block_until_ready(s)
-        return (time.time() - t0) / iters * 1000.0
+        return (time.time() - t0) / (iters * inner) * 1000.0
 
     # bf16 baseline (sample is the chained arg -> first)
-    fp_fn = lambda s, v, tt, e, a: unet.apply(v, s, tt, e, a)
+    attn = os.environ.get("MIXDQ_BENCH_ATTN", "auto")
+    from mixdq_tpu.quant.state import FP_CTX
+    fp_ctx = FP_CTX.replace(attn_impl=attn)
+    fp_fn = lambda s, v, tt, e, a: unet.apply(v, s, tt, e, a, fp_ctx)
 
     # quantized path
     wq = QuantSpec(sym=True, channel_wise=True, round_mode="nearest")
@@ -108,14 +124,14 @@ def main():
     if backend in ("int8", "fused_int8", "dequant", "auto"):
         from mixdq_tpu.quant.deploy import deploy_unet_ctx, deployed_params
         modes = ([backend] if backend in ("int8", "fused_int8", "dequant")
-                 else ["int8", "dequant"])
+                 else ["int8", "fused_int8", "dequant"])
         for m in modes:
             # dequant mode keeps spatial convs FP (convert fuses into
             # matmuls but not convs; dense = 87% of SDXL weights)
             ctx = deploy_unet_ctx(unet, variables, qparams, ctrl, wq, aq,
                                   skip_spatial_convs=(m == "dequant"),
                                   pack_w4=(w_bits == 4 and m == "dequant"))
-            ctx = ctx.replace(deploy_compute=m)
+            ctx = ctx.replace(deploy_compute=m, attn_impl=attn)
             q_vars = jax.device_put(deployed_params(variables, ctx))
             variants[m] = (q_vars, ctx)
     else:
@@ -129,13 +145,16 @@ def main():
     rounds = int(os.environ.get("MIXDQ_BENCH_ROUNDS", "3"))
     import statistics
 
+    fp_runner = make_runner(fp_fn)
+    q_runner = make_runner(q_fn)  # one jit object; per-ctx cache entries
+
     ratios = {m: [] for m in variants}
     times = {m: [] for m in variants}
     fp_times = []
     for r in range(rounds):
         for m, (qv, cm) in variants.items():
-            fp = timeit(fp_fn, sample, variables, t, ehs, added)
-            qm = timeit(q_fn, sample, qv, cm, t, ehs, added)
+            fp = timeit(fp_runner, sample, variables, t, ehs, added)
+            qm = timeit(q_runner, sample, qv, cm, t, ehs, added)
             ratios[m].append(fp / qm)
             times[m].append(qm)
             fp_times.append(fp)

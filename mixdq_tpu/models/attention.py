@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from typing import Any, Optional
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -68,11 +69,31 @@ class Attention(nn.Module):
         v = v.reshape(B, Tk, self.heads, self.head_dim)
 
         scale = self.head_dim**-0.5
-        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
-        probs = nn.softmax(logits.astype(jnp.float32), axis=-1).astype(self.dtype)
-        if ctx.qkv_quant and ctx.softmax_aq is not None:
-            probs = QAct(softmax=True, name="act_quantizer_softmax")(probs, ctx)
-        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(B, Tq, inner)
+        # Flash kernels bypass the materialized probs tensor, so they are
+        # incompatible with the (simulation-only) softmax fake-quantizer;
+        # fall back to the einsum chain whenever it is active.
+        fake_sm = ctx.mode == "fake" and ctx.qkv_quant
+        impl = ctx.attn_impl
+        if impl == "auto":
+            # measured crossover (TPU v5e): the Pallas flash kernels beat
+            # the XLA einsum chain only when the logits matrix is large
+            # (T=4096: 1.28x; T<=1024: 0.8-1.0x — d=64 pads to 128 lanes)
+            impl = "flash" if Tq * Tk >= 2**22 else "einsum"
+        if (impl != "einsum" and not fake_sm
+                and jax.default_backend() != "cpu"):
+            from ..ops import pallas_attention as pa
+
+            if impl == "int8_flash":
+                out = pa.int8_mha(q, k, v, scale, out_dtype=self.dtype)
+            else:
+                out = pa.mha(q, k, v, scale)
+            out = out.reshape(B, Tq, inner).astype(self.dtype)
+        else:
+            logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
+            probs = nn.softmax(logits.astype(jnp.float32), axis=-1).astype(self.dtype)
+            if ctx.qkv_quant and ctx.softmax_aq is not None:
+                probs = QAct(softmax=True, name="act_quantizer_softmax")(probs, ctx)
+            out = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(B, Tq, inner)
 
         out = QDense(self.query_dim, dtype=self.dtype, name="to_out_0")(out, ctx)
         return out

@@ -126,13 +126,14 @@ class QDense(nn.Module):
             if (ctx.deploy_compute == "fused_int8"
                     and jax.default_backend() != "cpu"):
                 # act-quantize fused into the GEMM (saves the per-layer
-                # clamp/convert HBM round-trip, ~13% of the int8 step)
-                from ..ops.pallas_qmatmul import qmatmul_fused
+                # clamp/convert HBM round-trip, ~13% of the int8 step):
+                # v2 kernel quantizes once per M-tile into VMEM scratch
+                from ..ops.pallas_qmatmul import qmatmul_fused2
 
                 lead = x.shape[:-1]
-                y2 = qmatmul_fused(x.reshape(-1, x.shape[-1]), dp.w_int,
-                                   dp.scale_inv, dp.zp_shifted, dp.scale,
-                                   dp.bias0, out_dtype=self.dtype)
+                y2 = qmatmul_fused2(x.reshape(-1, x.shape[-1]), dp.w_int,
+                                    dp.scale_inv, dp.zp_shifted, dp.scale,
+                                    dp.bias0, out_dtype=self.dtype)
                 y = y2.reshape(*lead, y2.shape[-1])
             else:
                 codes = qops.quantize_per_tensor(x, dp.scale_inv,

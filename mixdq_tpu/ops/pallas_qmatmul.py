@@ -49,6 +49,19 @@ def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
+def _fit_block(dim: int, bmax: int, unit: int = 128) -> int:
+    """Largest multiple of ``unit`` <= ``bmax`` that divides
+    ``round_up(dim, unit)`` — a block size that tiles the dimension with
+    NO padding. Padding an operand inside jit is an extra HBM copy per
+    call; for weight operands under a sampler scan that re-pads the whole
+    UNet's weights every step (measured 3x whole-model slowdown)."""
+    dp = _round_up(dim, unit)
+    for c in range(min(bmax, dp) // unit * unit, unit - 1, -unit):
+        if dp % c == 0:
+            return c
+    return unit
+
+
 @functools.partial(jax.jit, static_argnames=("bm", "bn", "bk", "out_dtype",
                                              "interpret"))
 def qmatmul(
@@ -67,8 +80,8 @@ def qmatmul(
     K2, N = w_int8.shape
     assert K == K2
     bm = min(bm, _round_up(M, 32))
-    bn = min(bn, _round_up(N, 128))
-    bk = min(bk, _round_up(K, 128))
+    bn = _fit_block(N, bn)  # no-padding tiles for the weight operand
+    bk = _fit_block(K, bk)
     Mp, Np, Kp = _round_up(M, bm), _round_up(N, bn), _round_up(K, bk)
     if (Mp, Kp) != (M, K):
         x_int8 = jnp.pad(x_int8, ((0, Mp - M), (0, Kp - K)))
@@ -143,6 +156,134 @@ def _fused_kernel(x_ref, w_ref, qc_ref, scale_ref, bias0_ref, o_ref, acc_ref):
     def _():
         out = (acc_ref[:] - bias0_ref[:].astype(jnp.int32)).astype(jnp.float32)
         o_ref[:] = (out * scale_ref[:]).astype(o_ref.dtype)
+
+
+def _fused2_kernel(x_ref, w_ref, qc_ref, scale_ref, bias0_ref, o_ref,
+                   codes_ref, *, ck):
+    """Act-quantize fused GEMM, v2 (round-2 redesign of ``_fused_kernel``).
+
+    Grid is (M/bm, N/bn) with the FULL K dimension resident per block.
+    The bf16 activation tile is quantized to int8 codes in VMEM scratch
+    exactly once per M-tile (at j==0); for subsequent N-tiles the x block
+    index is unchanged so the Pallas pipeline elides the re-fetch and the
+    ``pl.when`` skips the re-quantize. This removes the two failure modes
+    measured in v1 (DESIGN_NOTES.md: 3x slower in-model): the bf16 x tile
+    was re-DMA'd for every (n, k) step and re-quantized per (m, k, n).
+
+    HBM traffic: x read once (bf16), codes never round-trip HBM, w read
+    M/bm times, out written once — strictly less than the unfused
+    quantize+GEMM path (which adds an int8 write + read of the codes).
+    """
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        scale_inv = qc_ref[0]
+        zp_s = qc_ref[1]
+        nchunks = x_ref.shape[1] // ck
+
+        # chunked quantize: bounds the f32 temporaries to [bm, ck] (a
+        # whole-tile quantize at K=5120 allocates >16MB of f32 stack)
+        def body(c, carry):
+            sl = pl.ds(c * ck, ck)
+            codes = jnp.round(
+                x_ref[:, sl].astype(jnp.float32) * scale_inv) + zp_s
+            codes_ref[:, sl] = jnp.clip(codes, -128.0, 127.0).astype(jnp.int8)
+            return carry
+
+        jax.lax.fori_loop(0, nchunks, body, 0)
+
+    acc = jax.lax.dot_general(
+        codes_ref[:], w_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    out = (acc - bias0_ref[:].astype(jnp.int32)).astype(jnp.float32)
+    o_ref[:] = (out * scale_ref[:]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("bm", "bn", "out_dtype",
+                                             "interpret"))
+def qmatmul_fused2(
+    x: jnp.ndarray,  # [M, K] bf16/f32 activations (UNQUANTIZED)
+    w_int8: jnp.ndarray,  # [K, N] int8
+    scale_inv: jnp.ndarray,  # scalar 1/s_a
+    zp_shifted: jnp.ndarray,  # scalar zp-128
+    scale: jnp.ndarray,  # [N] s_w*s_a
+    bias0: jnp.ndarray,  # [N] zp_s*sum_K(w)
+    bm: int = 256,
+    bn: int = 640,
+    out_dtype=jnp.bfloat16,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Quantize-once-per-M-tile fused int8 GEMM (see ``_fused2_kernel``).
+
+    K is unblocked (whole reduction per grid step); SDXL linear layers top
+    out at K=5120, whose VMEM footprint at the default tiles is ~10 MB.
+    For larger K, tiles shrink to fit."""
+    M, K = x.shape
+    K2, N = w_int8.shape
+    assert K == K2
+    Kp = _round_up(K, 128)
+    # quantize chunk: largest 128-multiple divisor of Kp <= 1024
+    ck = 128
+    for d in range(min(Kp, 1024), 0, -128):
+        if Kp % d == 0:
+            ck = d
+            break
+
+    # fit VMEM: x is double-buffered bf16 (2x2B) + codes scratch (1B) per
+    # M-tile; w tiles double-buffered (1B); out double-buffered (2B);
+    # quantize f32 temporaries ~2 x [bm, ck] x 4B
+    def _vmem(bm_, bn_):
+        return (5 * bm_ * Kp + 2 * Kp * bn_ + 4 * bm_ * bn_
+                + 8 * bm_ * ck)
+
+    while bn > 256 and _vmem(bm, bn) > 11 * 2**20:
+        bn //= 2
+    while bm > 32 and _vmem(bm, bn) > 11 * 2**20:
+        bm //= 2
+    # no-padding block sizes (w padding inside jit is a per-step copy of
+    # the whole weight under the sampler scan)
+    bm = _fit_block(M, bm, 32 if M < 128 else 128)
+    bn = _fit_block(N, bn)
+    Mp, Np = _round_up(M, bm), _round_up(N, bn)
+    if (Mp, Kp) != (M, K):
+        # zero-pad: padded-K codes are zp_s but the matching w rows are 0
+        x = jnp.pad(x, ((0, Mp - M), (0, Kp - K)))
+    if (Kp, Np) != (K, N):
+        w_int8 = jnp.pad(w_int8, ((0, Kp - K), (0, Np - N)))
+    if Np != N:
+        scale = jnp.pad(scale, (0, Np - N))
+        bias0 = jnp.pad(bias0, (0, Np - N))
+
+    qc = jnp.stack([scale_inv.astype(jnp.float32).reshape(()),
+                    zp_shifted.astype(jnp.float32).reshape(())])
+    grid = (Mp // bm, Np // bn)
+    vec_spec = pl.BlockSpec((1, bn), lambda i, j: (0, j),
+                            memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_fused2_kernel, ck=ck),
+        grid=grid,
+        in_specs=[
+            # x block index is constant in j -> fetched once per M-tile
+            pl.BlockSpec((bm, Kp), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Kp, bn), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            vec_spec, vec_spec,
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Mp, Np), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, Kp), jnp.int8)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mp * Np * Kp,
+            bytes_accessed=Mp * Kp * 2 + (Mp // bm) * Kp * Np + Mp * Np * 2,
+            transcendentals=0),
+        interpret=interpret,
+    )(x.astype(jnp.bfloat16), w_int8, qc, scale.reshape(1, -1),
+      bias0.reshape(1, -1))
+    return out[:M, :N]
 
 
 @functools.partial(jax.jit, static_argnames=("bm", "bn", "bk", "out_dtype",

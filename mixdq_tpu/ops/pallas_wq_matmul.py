@@ -75,9 +75,11 @@ def _w4_kernel(x_lo_ref, x_hi_ref, w_ref, scale_ref, o_ref, acc_ref):
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    w = w_ref[:]
-    w_lo = ((w & 0xF).astype(jnp.int8) - 8).astype(jnp.bfloat16)
-    w_hi = ((w >> 4).astype(jnp.int8) - 8).astype(jnp.bfloat16)
+    # nibble unpack in int32 lanes: current Mosaic cannot legalize i8
+    # vector sub/shift ('arith.subi'/'arith.shrui' on vector<...xi8>)
+    w = w_ref[:].astype(jnp.int32)
+    w_lo = ((w & 0xF) - 8).astype(jnp.bfloat16)
+    w_hi = ((w >> 4) - 8).astype(jnp.bfloat16)
     s = scale_ref[:].astype(jnp.bfloat16)
     acc_ref[:] += jnp.dot(x_lo_ref[:], w_lo * s,
                           preferred_element_type=jnp.float32)
@@ -104,9 +106,14 @@ def wq4_matmul(
     M, K = x.shape
     Kh, N = w_packed.shape
     assert K == 2 * Kh, (x.shape, w_packed.shape)
+    from .pallas_qmatmul import _fit_block
+
+    # block sizes that divide the (128-rounded) weight dims: padding the
+    # weight operand inside jit copies the whole tensor every call (under
+    # a sampler scan: every step)
     bm = min(bm, _round_up(M, 16))
-    bn = min(bn, _round_up(N, 128))
-    bk = min(bk, _round_up(Kh, 128))
+    bn = _fit_block(N, bn)
+    bk = _fit_block(Kh, bk)
     Mp, Np, Khp = _round_up(M, bm), _round_up(N, bn), _round_up(Kh, bk)
     xp = x.astype(jnp.bfloat16)
     if Mp != M or Khp != Kh:
@@ -168,9 +175,11 @@ def wq_matmul(
     M, K = x.shape
     K2, N = w_int.shape
     assert K == K2, (x.shape, w_int.shape)
+    from .pallas_qmatmul import _fit_block
+
     bm = min(bm, _round_up(M, 16))
-    bn = min(bn, _round_up(N, 128))
-    bk = min(bk, _round_up(K, 128))
+    bn = _fit_block(N, bn)  # no-padding tiles for the weight operand
+    bk = _fit_block(K, bk)
     Mp, Np, Kp = _round_up(M, bm), _round_up(N, bn), _round_up(K, bk)
     if (Mp, Kp) != (M, K):
         x = jnp.pad(x, ((0, Mp - M), (0, Kp - K)))

@@ -105,15 +105,28 @@ def qconv2d(
 # ---------------------------------------------------------------------------
 
 
-def prepare_qlinear_params(w, w_delta, a_delta, a_zp, bias=None, n_bits=8):
+def _weight_codes(w, w_delta_b, n_bits, alpha=None):
+    """Integer weight codes; with AdaRound ``alpha`` the learned hard
+    rounding ``floor(w/delta) + (alpha >= 0)`` replaces nearest rounding
+    (folding reconstruction results into deployment — the reference drops
+    alphas at convert time, kernels/convert_ckpt.py:17-46)."""
+    lo, hi = -(2 ** (n_bits - 1)), 2 ** (n_bits - 1) - 1
+    scaled = w.astype(jnp.float32) / w_delta_b
+    if alpha is None:
+        codes = jnp.round(scaled)
+    else:
+        codes = jnp.floor(scaled) + (alpha >= 0).astype(jnp.float32)
+    return jnp.clip(codes, lo, hi).astype(jnp.int8)
+
+
+def prepare_qlinear_params(w, w_delta, a_delta, a_zp, bias=None, n_bits=8,
+                           alpha=None):
     """Precompute deploy-side constants for one linear layer
     (QuantizedLinear.from_float, nn/Linear.py:115-132).
 
     w: [K, N] fp; w_delta: [N]; a_delta, a_zp: scalars (a_zp unshifted,
     as fitted: in [0, 255]). Returns dict of arrays."""
-    lo, hi = -(2 ** (n_bits - 1)), 2 ** (n_bits - 1) - 1
-    w_int = jnp.clip(jnp.round(w.astype(jnp.float32) / w_delta[None, :]),
-                     lo, hi).astype(jnp.int8)
+    w_int = _weight_codes(w, w_delta[None, :], n_bits, alpha)
     zp_s = (a_zp - 128.0).astype(jnp.float32)
     w_sum = jnp.sum(w_int.astype(jnp.int32), axis=0)  # [N]
     return {
@@ -126,12 +139,10 @@ def prepare_qlinear_params(w, w_delta, a_delta, a_zp, bias=None, n_bits=8):
     }
 
 
-def prepare_qconv_params(w, w_delta, a_delta, a_zp, bias=None, n_bits=8):
+def prepare_qconv_params(w, w_delta, a_delta, a_zp, bias=None, n_bits=8,
+                         alpha=None):
     """Same for conv, w: [kh, kw, C, K] HWIO, w_delta: [K]."""
-    lo, hi = -(2 ** (n_bits - 1)), 2 ** (n_bits - 1) - 1
-    w_int = jnp.clip(
-        jnp.round(w.astype(jnp.float32) / w_delta[None, None, None, :]),
-        lo, hi).astype(jnp.int8)
+    w_int = _weight_codes(w, w_delta[None, None, None, :], n_bits, alpha)
     zp_s = (a_zp - 128.0).astype(jnp.float32)
     w_sum = jnp.sum(w_int.astype(jnp.int32), axis=(0, 1, 2))  # [K]
     return {

@@ -147,6 +147,44 @@ def fake_quant(
     return x_dequant.astype(x.dtype)
 
 
+ADAROUND_GAMMA, ADAROUND_ZETA = -0.1, 1.1  # stretch (base_quantizer.py:59)
+
+
+def adaround_h(alpha: jnp.ndarray) -> jnp.ndarray:
+    """Rectified sigmoid h(alpha) in [0, 1] (base_quantizer.py:77)."""
+    return jnp.clip(
+        jax.nn.sigmoid(alpha) * (ADAROUND_ZETA - ADAROUND_GAMMA)
+        + ADAROUND_GAMMA, 0.0, 1.0)
+
+
+def fake_quant_adaround(
+    x: jnp.ndarray,
+    delta: jnp.ndarray,
+    zero_point: jnp.ndarray,
+    n_bits,
+    alpha: jnp.ndarray,
+    sym: bool = True,
+    hard: bool = False,
+) -> jnp.ndarray:
+    """AdaRound fake quantization (``learned_hard_sigmoid`` rounding,
+    base_quantizer.py:74-84): ``code = floor(x/delta) + h(alpha)`` (soft,
+    used while optimizing alpha — gradients flow through h) or
+    ``floor(x/delta) + (alpha >= 0)`` (hard, the deployed rounding)."""
+    n_bits = jnp.asarray(n_bits)
+    xf = x.astype(jnp.float32)
+    delta = delta.astype(jnp.float32)
+    zero_point = zero_point.astype(jnp.float32)
+    x_floor = jnp.floor(xf / delta)
+    r = (alpha >= 0).astype(jnp.float32) if hard else adaround_h(alpha)
+    x_int = x_floor + r + zero_point
+    if sym:
+        n_levels = 2.0 ** (n_bits - 1) - 1.0
+        x_quant = jnp.clip(x_int, -n_levels - 1.0, n_levels)
+    else:
+        x_quant = jnp.clip(x_int, 0.0, 2.0**n_bits - 1.0)
+    return ((x_quant - zero_point) * delta).astype(x.dtype)
+
+
 # ---------------------------------------------------------------------------
 # Range statistics
 # ---------------------------------------------------------------------------

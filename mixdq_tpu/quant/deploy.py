@@ -67,6 +67,7 @@ def build_deploy_params(
     use_int4_storage: bool = False,
     skip_spatial_convs: bool = False,
     pack_w4: bool = False,
+    alphas: Optional[Dict[str, Any]] = None,
 ) -> Dict[str, Any]:
     """Build the deploy pytree for every layer present in ``layer_bits``
     whose activation path is A8 (int8 acceleration gate — the reference's
@@ -74,8 +75,11 @@ def build_deploy_params(
 
     Layers not in ``layer_bits`` (or with unsupported configs) stay FP.
     Split convs get twin entries (``w0_int`` etc., nn/Conv2d.py:189-243).
+    ``alphas``: learned AdaRound rounding offsets from
+    ``recon.reconstruct(return_alphas=True)`` — folded into the int codes.
     """
     splits = splits or {}
+    alphas = alphas or {}
     cb = list(candidate_bits)
     layers = quantizable_layers(params)
     deploy: Dict[str, Any] = {}
@@ -119,25 +123,30 @@ def build_deploy_params(
                 prep["w_int"] = prep["w_int"].astype(jnp.int4)
             return DeployEntry(kind=kind, **prep)
 
+        alpha = alphas.get(name)
         if w.ndim == 2:
             deploy[name] = entry(qops.prepare_qlinear_params(
                 w, qp.w_delta[wb_idx], qp.a_delta[ab_idx],
-                qp.a_zp[ab_idx], n_bits=eff_bits), "linear")
+                qp.a_zp[ab_idx], n_bits=eff_bits, alpha=alpha), "linear")
         elif w.ndim == 4:
             if name in splits and qp.w0_delta is not None:
                 s = splits[name]
                 d0 = entry(qops.prepare_qconv_params(
                     w[:, :, :s, :], qp.w_delta[wb_idx], qp.a_delta[ab_idx],
-                    qp.a_zp[ab_idx], n_bits=eff_bits), "conv")
+                    qp.a_zp[ab_idx], n_bits=eff_bits,
+                    alpha=None if alpha is None else alpha[:, :, :s, :]),
+                    "conv")
                 d1 = entry(qops.prepare_qconv_params(
                     w[:, :, s:, :], qp.w0_delta[wb_idx], qp.a0_delta[ab_idx],
-                    qp.a0_zp[ab_idx], n_bits=eff_bits), "conv")
+                    qp.a0_zp[ab_idx], n_bits=eff_bits,
+                    alpha=None if alpha is None else alpha[:, :, s:, :]),
+                    "conv")
                 deploy[name] = DeployEntry(kind="conv_split", split=s,
                                            part0=d0, part1=d1)
             else:
                 deploy[name] = entry(qops.prepare_qconv_params(
                     w, qp.w_delta[wb_idx], qp.a_delta[ab_idx],
-                    qp.a_zp[ab_idx], n_bits=eff_bits), "conv")
+                    qp.a_zp[ab_idx], n_bits=eff_bits, alpha=alpha), "conv")
     return deploy
 
 
@@ -170,6 +179,7 @@ def deploy_unet_ctx(unet, variables, qparams, ctrl, wq: QuantSpec,
                     layer_bits: Optional[Dict[str, Tuple[int, int]]] = None,
                     skip_spatial_convs: bool = False,
                     pack_w4: bool = False,
+                    alphas: Optional[Dict[str, Any]] = None,
                     ) -> "QuantCtx":
     """Build an int8-mode QuantCtx (+ pruned params inside ``.deploy``
     consumers must fetch via ``deployed_params``). ``ctrl`` (dynamic) is
@@ -190,10 +200,11 @@ def deploy_unet_ctx(unet, variables, qparams, ctrl, wq: QuantSpec,
     # one jitted program for the whole deploy build (794 layers of eager
     # per-layer ops would be thousands of remote dispatches)
     deploy = jax.jit(
-        lambda p, qp: build_deploy_params(
+        lambda p, qp, al: build_deploy_params(
             p, qp, layer_bits, wq.candidate_bits, splits,
-            skip_spatial_convs=skip_spatial_convs, pack_w4=pack_w4)
-    )(params, qparams)
+            skip_spatial_convs=skip_spatial_convs, pack_w4=pack_w4,
+            alphas=al)
+    )(params, qparams, alphas)
     logger.info("deployed %d/%d layers to int8", len(deploy),
                 len(quantizable_layers(params)))
     return QuantCtx(qparams=None, ctrl=None, deploy=deploy, mode="int8",

@@ -104,9 +104,17 @@ def reconstruct(
     reg_weight: float = 0.01,
     bit_idx: Optional[int] = None,
     outdir: Optional[str] = None,
+    return_alphas: bool = False,
 ) -> Dict[str, LayerQParams]:
     """Optimize w_delta (and optionally AdaRound alphas) and return updated
-    qparams. ``batches``: list of model arg tuples."""
+    qparams. ``batches``: list of model arg tuples.
+
+    With ``return_alphas=True`` returns ``(qparams, alphas)`` where
+    ``alphas`` maps layer name -> learned rounding offsets; feed them to
+    ``QuantCtx(alphas=...)`` for hard-rounded fake-quant inference or to
+    ``build_deploy_params(alphas=...)`` to fold the learned rounding into
+    the deployed int8 codes (the reference never deploys AdaRound —
+    kernels/convert_ckpt.py keeps only delta/zp)."""
     if bit_idx is None:
         bit_idx = wq.bit_index(wq.n_bits)
     names = sorted(qparams.keys())
@@ -153,8 +161,15 @@ def reconstruct(
         return out, jax.tree_util.tree_leaves(st["intermediates"])
 
     def loss_fn(train_p, batch, fp_out, fp_inter, step):
+        # soft AdaRound forward: the reconstruction loss sees
+        # floor(w/delta)+h(alpha), so alphas get loss gradients (the
+        # reference's learned_hard_sigmoid training mode,
+        # base_quantizer.py:74-84) — not just the regularizer
+        alphas = ({n: e["alpha"] for n, e in train_p.items() if "alpha" in e}
+                  if adaround else None)
         ctx = QuantCtx(qparams=apply_qparams(train_p), ctrl=ctrl,
-                       mode="fake", wq=wq, aq=aq)
+                       mode="fake", wq=wq, aq=aq,
+                       alphas=alphas or None, soft_round=True)
         out, inter = fwd(variables, ctx, *batch)
         loss = jnp.mean((out - fp_out) ** 2)
         for a, b in zip(inter, fp_inter):
@@ -190,9 +205,7 @@ def reconstruct(
             logger.info("recon step %d loss %.6f", step, float(loss))
 
     qparams = apply_qparams(train)
-    if adaround:
-        # hard rounding: fold the learned rounding decision into the
-        # weights is deployment-side; here we keep alphas implicit by
-        # leaving delta learned (soft->hard handled at deploy)
-        pass
+    if return_alphas:
+        alphas = {n: e["alpha"] for n, e in train.items() if "alpha" in e}
+        return qparams, alphas
     return qparams

@@ -252,6 +252,10 @@ class QuantCtx:
     qparams: Any = None  # Dict[str, LayerQParams]
     ctrl: Any = None  # Dict[str, LayerCtrl]
     deploy: Any = None  # Dict[str, DeployParams] for int8 mode
+    # AdaRound per-element rounding offsets {layer: alpha}; when set, the
+    # weight fake-quant uses learned rounding (soft while optimizing —
+    # gradients flow to alpha — hard otherwise; base_quantizer.py:74-84)
+    alphas: Any = None
     mode: str = struct.field(pytree_node=False, default="fp")
     # int8-mode compute strategy: 'int8' = integer MXU math with fused
     # dequant epilogue (reference-style); 'dequant' = weight-only: int8
@@ -265,6 +269,13 @@ class QuantCtx:
     capture_acts: bool = struct.field(pytree_node=False, default=False)
     bos_aware: bool = struct.field(pytree_node=False, default=False)
     qkv_quant: bool = struct.field(pytree_node=False, default=False)
+    soft_round: bool = struct.field(pytree_node=False, default=False)
+    # attention math implementation: 'einsum' = XLA bmm+softmax chain;
+    # 'flash' = Pallas online-softmax kernel (logits stay in VMEM);
+    # 'int8_flash' = flash with dynamically-quantized int8 QK^T — the
+    # real-quant attention path (the reference only *simulates* q/k/v
+    # quantizers, quant_block.py:213-233, and never accelerates attention)
+    attn_impl: str = struct.field(pytree_node=False, default="einsum")
 
     # -- helpers used by the quant-aware layers ---------------------------
 
@@ -294,8 +305,20 @@ class QuantCtx:
             shape[channel_axis % w.ndim] = w.shape[channel_axis % w.ndim]
             delta = delta.reshape(shape)
             zp = zp.reshape(shape)
-        wq = fake_quant(w, delta, zp, bits, sym=self.wq.sym,
-                        ste=self.wq.round_mode.endswith("ste"))
+        alpha = (self.alphas.get(name)
+                 if (self.alphas is not None and split_part == 0) else None)
+        if alpha is not None and alpha.shape != w.shape:
+            alpha = None  # split convs quantize kernel slices; alpha is
+            # fitted on the full kernel — skip learned rounding there
+        if alpha is not None:
+            from .core import fake_quant_adaround
+
+            wq = fake_quant_adaround(w, delta, zp, bits, alpha,
+                                     sym=self.wq.sym,
+                                     hard=not self.soft_round)
+        else:
+            wq = fake_quant(w, delta, zp, bits, sym=self.wq.sym,
+                            ste=self.wq.round_mode.endswith("ste"))
         return jnp.where(ct.w_on, wq, w)
 
     def quant_act(self, name: str, x: jnp.ndarray, split_part: int = 0,

@@ -20,22 +20,35 @@ import jax
 import jax.numpy as jnp
 
 
-def chained_timeit(fn, x, iters):
-    def chained(s):
-        o = fn(s)
-        return (o / (1 + jnp.abs(o))).astype(s.dtype)[:, : s.shape[1]]
+def chained_timeit(fn, x, iters, inner=32):
+    """Time ``fn`` by scanning ``inner`` chained evaluations inside ONE jit
+    region: each step's carry update depends on the previous output, so
+    execution is sequential and can't be elided/deduped, while the ~2 ms
+    per-dispatch floor of the remote TPU tunnel is amortized to
+    ~2/inner ms (standalone per-call timing measures only that floor for
+    sub-ms kernels)."""
 
-    cf = jax.jit(chained)
-    s = cf(x)
+    def step(s, _):
+        o = fn(s)
+        # data-dependent but numerically-null carry update (tiny scale
+        # underflows in bf16; XLA can't constant-fold a runtime sum)
+        s = s + (jnp.sum(o.astype(jnp.float32)) * 1e-30).astype(s.dtype)
+        return s, ()
+
+    @jax.jit
+    def run(s):
+        s, _ = jax.lax.scan(step, s, None, length=inner)
+        return s
+
+    s = run(x)
     jax.block_until_ready(s)
-    for _ in range(3):
-        s = cf(s)
+    s = run(s)
     jax.block_until_ready(s)
     t0 = time.time()
     for _ in range(iters):
-        s = cf(s)
+        s = run(s)
     jax.block_until_ready(s)
-    return (time.time() - t0) / iters * 1000.0
+    return (time.time() - t0) / (iters * inner) * 1000.0
 
 
 def main():
@@ -44,7 +57,8 @@ def main():
     args = ap.parse_args()
 
     from mixdq_tpu.ops import qops
-    from mixdq_tpu.ops.pallas_qmatmul import qmatmul, qmatmul_fused
+    from mixdq_tpu.ops.pallas_qmatmul import (qmatmul, qmatmul_fused,
+                                              qmatmul_fused2)
     from mixdq_tpu.ops.pallas_wq_matmul import (pack_w4_halves, wq4_matmul,
                                                 wq_matmul)
 
@@ -70,6 +84,8 @@ def main():
             "pallas int8": lambda s: qmatmul(
                 qops.quantize_per_tensor(s, si, zp), wi, sc, b0),
             "pallas fused-quant int8": lambda s: qmatmul_fused(
+                s, wi, si, zp, sc, b0),
+            "pallas fused-quant v2": lambda s: qmatmul_fused2(
                 s, wi, si, zp, sc, b0),
             "pallas w8-dequant": lambda s: wq_matmul(s, wi, sc),
         }

@@ -56,9 +56,14 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", required=True)
     ap.add_argument("--outdir", required=True)
-    ap.add_argument("--recon", choices=["layer", "block"], default=None,
+    ap.add_argument("--recon", choices=["layer", "block", "model"],
+                    default=None,
                     help="optional AdaRound-style reconstruction")
     ap.add_argument("--recon_iters", type=int, default=200)
+    ap.add_argument("--adaround", action="store_true",
+                    help="learn per-element AdaRound rounding offsets "
+                         "during --recon; saved to alphas.msgpack and "
+                         "foldable into deployed int codes")
     args = ap.parse_args()
 
     cfg = load_config(args.config)
@@ -81,10 +86,19 @@ def main():
 
     if args.recon:
         from mixdq_tpu.quant.recon import reconstruct
-        qparams = reconstruct(
+        out = reconstruct(
             pipe.unet, {"params": params["unet"]}, qparams, batches,
             wq, aq, mode=args.recon, iters=args.recon_iters,
-            outdir=args.outdir)
+            outdir=args.outdir, adaround=args.adaround,
+            return_alphas=args.adaround)
+        if args.adaround:
+            qparams, alphas = out
+            from flax import serialization
+            with open(os.path.join(args.outdir, "alphas.msgpack"), "wb") as f:
+                f.write(serialization.msgpack_serialize(
+                    {k: np.asarray(v) for k, v in alphas.items()}))
+        else:
+            qparams = out
 
     ckpt = os.path.join(args.outdir, "qparams.msgpack")
     save_qparams(qparams, ckpt)

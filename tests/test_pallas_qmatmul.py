@@ -137,3 +137,33 @@ def test_qmatmul_fused_act_quantize():
     # in-kernel quantize uses bf16 x; tolerate bf16 rounding of x
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=0.05, atol=1.0)
+
+
+def test_qmatmul_fused2_act_quantize():
+    """v2 fused kernel (quantize once per M-tile into VMEM scratch) matches
+    the separate quantize + qlinear reference."""
+    from mixdq_tpu.ops.pallas_qmatmul import qmatmul_fused2
+    from mixdq_tpu.ops import qops
+
+    rng = np.random.RandomState(5)
+    for (M, K, N) in [(48, 300, 130), (100, 128, 257)]:
+        x = rng.randn(M, K).astype(np.float32)
+        w_int = rng.randint(-128, 128, (K, N)).astype(np.int8)
+        scale_inv = np.float32(9.7)
+        zp_s = np.float32(-4.0)
+        w_scale = (rng.rand(N).astype(np.float32) + 0.1) * 0.01
+        scale = w_scale * (1.0 / scale_inv)
+        bias0 = zp_s * w_int.astype(np.int64).sum(0).astype(np.float32)
+
+        got = qmatmul_fused2(jnp.asarray(x), jnp.asarray(w_int),
+                             jnp.asarray(scale_inv), jnp.asarray(zp_s),
+                             jnp.asarray(scale), jnp.asarray(bias0),
+                             bm=32, bn=128, out_dtype=jnp.float32,
+                             interpret=True)
+        codes = qops.quantize_per_tensor(jnp.asarray(x),
+                                         jnp.asarray(scale_inv),
+                                         jnp.asarray(zp_s))
+        want = qops.qlinear(codes, jnp.asarray(w_int), jnp.asarray(scale),
+                            jnp.asarray(bias0), out_dtype=jnp.float32)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=0.05, atol=1.0)
