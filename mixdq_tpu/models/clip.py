@@ -21,7 +21,7 @@ from typing import Any
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .configs import CLIPTextConfig
+from .configs import CLIPTextConfig, CLIPVisionConfig
 
 
 def quick_gelu(x):
@@ -106,3 +106,79 @@ class CLIPTextModel(nn.Module):
             pooled = nn.Dense(c.projection_dim, use_bias=False,
                               dtype=self.dtype, param_dtype=self.dtype, name="text_projection")(pooled)
         return last, penultimate, pooled
+
+
+# CLIP-normalization constants (HF CLIPImageProcessor defaults)
+CLIP_IMAGE_MEAN = (0.48145466, 0.4578275, 0.40821073)
+CLIP_IMAGE_STD = (0.26862954, 0.26130258, 0.27577711)
+
+
+def preprocess_images(images: jnp.ndarray,
+                      image_size: int = 224) -> jnp.ndarray:
+    """[B, H, W, 3] images in [0, 1] -> CLIP-normalized [B, S, S, 3]."""
+    import jax
+
+    B, H, W, _ = images.shape
+    if (H, W) != (image_size, image_size):
+        images = jax.image.resize(
+            images, (B, image_size, image_size, 3), method="bilinear")
+    mean = jnp.asarray(CLIP_IMAGE_MEAN, images.dtype)
+    std = jnp.asarray(CLIP_IMAGE_STD, images.dtype)
+    return (images - mean) / std
+
+
+class CLIPVisionModel(nn.Module):
+    """CLIP ViT image tower (HF ``vision_model.*`` naming) — the feature
+    extractor for CLIP-score and CLIP-FID (the reference lists both
+    metrics as TODO, README.md:169-171; this implements them TPU-native).
+
+    Returns ``(last_hidden_state, pooled)`` where ``pooled`` is the
+    post-LN CLS embedding passed through ``visual_projection`` when
+    ``cfg.projection_dim`` is set (the CLIP image embedding space)."""
+
+    cfg: CLIPVisionConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, pixel_values: jnp.ndarray):
+        """pixel_values: [B, S, S, 3] CLIP-normalized (NHWC)."""
+        c = self.cfg
+        B = pixel_values.shape[0]
+        n_patches = (c.image_size // c.patch_size) ** 2
+
+        patches = nn.Conv(
+            c.hidden_size, (c.patch_size, c.patch_size),
+            strides=(c.patch_size, c.patch_size), use_bias=False,
+            dtype=self.dtype, param_dtype=self.dtype,
+            name="patch_embedding")(pixel_values)
+        patches = patches.reshape(B, n_patches, c.hidden_size)
+
+        cls = self.param("class_embedding", nn.initializers.normal(0.02),
+                         (c.hidden_size,))
+        cls = jnp.broadcast_to(cls.astype(self.dtype),
+                               (B, 1, c.hidden_size))
+        x = jnp.concatenate([cls, patches], axis=1)
+        pos = self.param("position_embedding",
+                         nn.initializers.normal(0.01),
+                         (n_patches + 1, c.hidden_size))
+        x = x + pos[None].astype(self.dtype)
+
+        # HF misspells this module 'pre_layrnorm'; keep the name so
+        # converted checkpoints map 1:1
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                         name="pre_layrnorm")(x)
+        zero_mask = jnp.zeros((x.shape[1], x.shape[1]), jnp.float32)
+        text_like = CLIPTextConfig(
+            hidden_size=c.hidden_size, num_heads=c.num_heads,
+            intermediate_size=c.intermediate_size, hidden_act=c.hidden_act)
+        for i in range(c.num_layers):
+            x = CLIPEncoderLayer(text_like, dtype=self.dtype,
+                                 name=f"layers_{i}")(x, zero_mask)
+
+        pooled = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                              name="post_layernorm")(x[:, 0])
+        if c.projection_dim is not None:
+            pooled = nn.Dense(c.projection_dim, use_bias=False,
+                              dtype=self.dtype, param_dtype=self.dtype,
+                              name="visual_projection")(pooled)
+        return x, pooled

@@ -52,6 +52,22 @@ class CLIPTextConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class CLIPVisionConfig:
+    """CLIP ViT image tower (HF ``vision_model.*`` space). Defaults:
+    ViT-L/14 (openai/clip-vit-large-patch14 — the standard CLIP-score
+    backbone)."""
+
+    image_size: int = 224
+    patch_size: int = 14
+    hidden_size: int = 1024
+    num_layers: int = 24
+    num_heads: int = 16
+    intermediate_size: int = 4096
+    projection_dim: Optional[int] = 768
+    hidden_act: str = "quick_gelu"
+
+
+@dataclasses.dataclass(frozen=True)
 class VAEConfig:
     latent_channels: int = 4
     block_out_channels: Tuple[int, ...] = (128, 256, 512, 512)

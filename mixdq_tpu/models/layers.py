@@ -123,11 +123,17 @@ class QDense(nn.Module):
                 if bias is not None:
                     y = y + bias.astype(self.dtype)
                 return y
+            M_total = x.size // x.shape[-1]
             if (ctx.deploy_compute == "fused_int8"
+                    and M_total >= 1024
                     and jax.default_backend() != "cpu"):
                 # act-quantize fused into the GEMM (saves the per-layer
-                # clamp/convert HBM round-trip, ~13% of the int8 step):
-                # v2 kernel quantizes once per M-tile into VMEM scratch
+                # clamp/convert HBM round-trip): v2 kernel quantizes once
+                # per M-tile into VMEM scratch. Hybrid: only where M is
+                # large enough to pipeline — at small M the pallas call is
+                # DMA-latency-bound (grid of 1-2 steps, no overlap) and
+                # XLA's fused dot wins; small-M layers also contribute
+                # negligible quantize traffic
                 from ..ops.pallas_qmatmul import qmatmul_fused2
 
                 lead = x.shape[:-1]
@@ -216,7 +222,7 @@ class QConv(nn.Module):
               else None)
         if dp is not None:
             y = self._int8_forward(x.astype(self.dtype), dp, split,
-                                   dequant=ctx.deploy_compute == "dequant")
+                                   mode=ctx.deploy_compute)
             if bias is not None:
                 y = y + bias.astype(self.dtype)
             return y
@@ -273,16 +279,31 @@ class QConv(nn.Module):
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
 
-    def _int8_forward(self, x, dp, split, dequant=False):
+    def _int8_forward(self, x, dp, split, mode="int8"):
         """Real-quant conv (dual-conv sum for channel-split layers,
         nn/Conv2d.py:312-347; bias applied once by the caller).
-        ``dequant``: weight-only mode — int8 weights dequantized into a
-        bf16 conv."""
+        ``mode='dequant'``: weight-only — int8 weights dequantized into a
+        bf16 conv. ``mode='fused_int8'``: 1x1 convs route through the
+        fused act-quantize GEMM kernel (a 1x1 conv IS a matmul over
+        flattened pixels; 3x3 convs keep the XLA path)."""
         from ..ops import qops
 
+        dequant = mode == "dequant"
         pad = self.padding
         if isinstance(pad, int):
             pad = (pad, pad)
+        if (mode == "fused_int8" and dp.kind == "conv"
+                and dp.w_int is not None and dp.w_int.shape[0] == 1
+                and dp.w_int.shape[1] == 1 and self.strides == (1, 1)
+                and jax.default_backend() != "cpu"):
+            from ..ops.pallas_qmatmul import qmatmul_fused2
+
+            B, H, W, C = x.shape
+            y2 = qmatmul_fused2(
+                x.reshape(B * H * W, C), dp.w_int.reshape(C, -1),
+                dp.scale_inv, dp.zp_shifted, dp.scale, dp.bias0,
+                out_dtype=self.dtype)
+            return y2.reshape(B, H, W, -1)
         if dequant:
             # weight-only int8: convert-only kernel feed (fuses into the
             # conv's operand read), per-out-channel scale applied to the

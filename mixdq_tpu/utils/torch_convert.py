@@ -119,6 +119,90 @@ def convert_clip_state_dict(sd: Mapping[str, np.ndarray]) -> Dict[str, Any]:
     return params
 
 
+def convert_clip_vision_state_dict(sd: Mapping[str, np.ndarray]) -> Dict[str, Any]:
+    """HF CLIPVisionModel(WithProjection) state dict -> flax params for
+    mixdq_tpu.models.clip.CLIPVisionModel (the CLIP-score / CLIP-FID
+    feature extractor)."""
+    params: Dict[str, Any] = {}
+    for name, w in sd.items():
+        w = np.asarray(w)
+        n = re.sub(r"^vision_model\.", "", name)
+        if n == "embeddings.class_embedding":
+            _set(params, ["class_embedding"], w)
+        elif n == "embeddings.patch_embedding.weight":
+            _set(params, ["patch_embedding", "kernel"],
+                 np.transpose(w, (2, 3, 1, 0)))  # OIHW -> HWIO
+        elif n.startswith("embeddings.position_embedding"):
+            _set(params, ["position_embedding"], w)
+        elif n.startswith("pre_layrnorm."):
+            leaf = "scale" if n.endswith("weight") else "bias"
+            _set(params, ["pre_layrnorm", leaf], w)
+        elif n.startswith("post_layernorm."):
+            leaf = "scale" if n.endswith("weight") else "bias"
+            _set(params, ["post_layernorm", leaf], w)
+        elif n == "visual_projection.weight":
+            _set(params, ["visual_projection", "kernel"], np.transpose(w))
+        else:
+            m = re.match(
+                r"encoder\.layers\.(\d+)\.(self_attn|mlp|layer_norm1|layer_norm2)"
+                r"\.?(.*)\.(weight|bias)$", n)
+            if not m:
+                logger.warning("unhandled clip-vision leaf %s", name)
+                continue
+            li, group, sub, leaf = m.groups()
+            mod = [f"layers_{li}"]
+            if group == "self_attn":
+                mod += ["self_attn", sub]
+            elif group == "mlp":
+                mod += [sub]
+            else:
+                mod += [group]
+            if leaf == "weight":
+                if w.ndim == 2:
+                    _set(params, mod + ["kernel"], np.transpose(w))
+                else:
+                    _set(params, mod + ["scale"], w)
+            else:
+                _set(params, mod + ["bias"], w)
+    return params
+
+
+def convert_inception_state_dict(sd: Mapping[str, np.ndarray],
+                                 bn_eps: float = 1e-3) -> Dict[str, Any]:
+    """torchvision ``Inception3`` (or pytorch-fid FID-Inception) state
+    dict -> flax params for mixdq_tpu.models.inception.InceptionV3Features.
+
+    Each ``<block>.conv`` + ``<block>.bn`` pair is folded into one
+    conv-with-bias (inference-exact):
+        w' = w * gamma / sqrt(var + eps);  b' = beta - mean * gamma / sqrt(var + eps)
+    The fc classifier head and aux blocks are ignored (FID uses pool3)."""
+    params: Dict[str, Any] = {}
+    convs: Dict[str, Dict[str, np.ndarray]] = {}
+    for name, w in sd.items():
+        if name.startswith(("fc.", "AuxLogits.")) or "num_batches" in name:
+            continue
+        m = re.match(r"^(.*)\.(conv|bn)\.(weight|bias|running_mean|running_var)$",
+                     name)
+        if not m:
+            logger.warning("unhandled inception leaf %s", name)
+            continue
+        block, kind, leaf = m.groups()
+        convs.setdefault(block, {})[f"{kind}.{leaf}"] = np.asarray(w)
+    for block, d in convs.items():
+        w = d["conv.weight"]  # OIHW
+        gamma = d.get("bn.weight", np.ones(w.shape[0], np.float32))
+        beta = d.get("bn.bias", np.zeros(w.shape[0], np.float32))
+        mean = d["bn.running_mean"]
+        var = d["bn.running_var"]
+        s = gamma / np.sqrt(var + bn_eps)
+        w_f = np.transpose(w * s[:, None, None, None], (2, 3, 1, 0))  # ->HWIO
+        b_f = beta - mean * s
+        mod = block.split(".") + ["conv"]
+        _set(params, mod + ["kernel"], w_f.astype(np.float32))
+        _set(params, mod + ["bias"], b_f.astype(np.float32))
+    return params
+
+
 _VAE_FLAT_RE = re.compile(
     r"^(decoder|encoder)\.(up_blocks|down_blocks)\.(\d+)\.(resnets)\.(\d+)\.(.+)$")
 _VAE_SAMPLER_RE = re.compile(

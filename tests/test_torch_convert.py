@@ -145,3 +145,51 @@ def test_fuse_lora_state_dict():
     want = W + (B @ A) * (0.5 * 4.0 / 2.0)
     np.testing.assert_allclose(fused["unet.attn.to_q.weight"], want,
                                rtol=1e-5)
+
+
+def test_clip_vision_state_dict_roundtrip():
+    """CLIP image tower: forward sanity + HF-named state-dict conversion."""
+    from mixdq_tpu.models.clip import CLIPVisionModel, preprocess_images
+    from mixdq_tpu.models.configs import CLIPVisionConfig
+
+    cfg = CLIPVisionConfig(image_size=28, patch_size=14, hidden_size=32,
+                           num_layers=2, num_heads=2, intermediate_size=64,
+                           projection_dim=16)
+    model = CLIPVisionModel(cfg)
+    px = preprocess_images(
+        jnp.ones((2, 32, 32, 3), jnp.float32) * 0.5, cfg.image_size)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), px)
+    hidden, pooled = jax.jit(model.apply)(variables, px)
+    assert hidden.shape == (2, (28 // 14) ** 2 + 1, 32)
+    assert pooled.shape == (2, 16)
+
+    params = jax.tree_util.tree_map(np.asarray, variables["params"])
+    sd = {}
+    for lname, ltree in params.items():
+        if lname == "class_embedding":
+            sd["vision_model.embeddings.class_embedding"] = ltree
+        elif lname == "patch_embedding":
+            sd["vision_model.embeddings.patch_embedding.weight"] = (
+                np.transpose(ltree["kernel"], (3, 2, 0, 1)))  # HWIO->OIHW
+        elif lname == "position_embedding":
+            sd["vision_model.embeddings.position_embedding.weight"] = ltree
+        elif lname in ("pre_layrnorm", "post_layernorm"):
+            sd[f"vision_model.{lname}.weight"] = ltree["scale"]
+            sd[f"vision_model.{lname}.bias"] = ltree["bias"]
+        elif lname == "visual_projection":
+            sd["visual_projection.weight"] = np.transpose(ltree["kernel"])
+        elif lname.startswith("layers_"):
+            li = lname.split("_")[1]
+            for sub, st in ltree.items():
+                if sub == "self_attn":
+                    for proj, pt in st.items():
+                        sd[f"vision_model.encoder.layers.{li}.self_attn.{proj}.weight"] = np.transpose(pt["kernel"])
+                        sd[f"vision_model.encoder.layers.{li}.self_attn.{proj}.bias"] = pt["bias"]
+                elif sub in ("fc1", "fc2"):
+                    sd[f"vision_model.encoder.layers.{li}.mlp.{sub}.weight"] = np.transpose(st["kernel"])
+                    sd[f"vision_model.encoder.layers.{li}.mlp.{sub}.bias"] = st["bias"]
+                else:
+                    sd[f"vision_model.encoder.layers.{li}.{sub}.weight"] = st["scale"]
+                    sd[f"vision_model.encoder.layers.{li}.{sub}.bias"] = st["bias"]
+    back = torch_convert.convert_clip_vision_state_dict(sd)
+    trees_equal(params, back)
