@@ -121,17 +121,21 @@ def main():
     # environment migrates between hosts with very different perf
     # characteristics, so sequential per-mode measurement is unfair.
     variants = {}
-    if backend in ("int8", "fused_int8", "dequant", "auto"):
+    if backend in ("int8", "int8_fq", "fused_int8", "dequant", "auto"):
         from mixdq_tpu.quant.deploy import deploy_unet_ctx, deployed_params
-        modes = ([backend] if backend in ("int8", "fused_int8", "dequant")
-                 else ["int8", "fused_int8", "dequant"])
+        modes = ([backend] if backend != "auto"
+                 else ["int8", "int8_fq", "dequant"])
         for m in modes:
+            # int8_fq = int8 compute + fused QKV/KV attention projections
+            # (one shared-act-scale GEMM instead of three)
+            compute = "int8" if m == "int8_fq" else m
             # dequant mode keeps spatial convs FP (convert fuses into
             # matmuls but not convs; dense = 87% of SDXL weights)
             ctx = deploy_unet_ctx(unet, variables, qparams, ctrl, wq, aq,
                                   skip_spatial_convs=(m == "dequant"),
-                                  pack_w4=(w_bits == 4 and m == "dequant"))
-            ctx = ctx.replace(deploy_compute=m, attn_impl=attn)
+                                  pack_w4=(w_bits == 4 and m == "dequant"),
+                                  fuse_qkv=(m == "int8_fq"))
+            ctx = ctx.replace(deploy_compute=compute, attn_impl=attn)
             q_vars = jax.device_put(deployed_params(variables, ctx))
             variants[m] = (q_vars, ctx)
     else:

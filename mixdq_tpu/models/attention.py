@@ -48,14 +48,50 @@ class Attention(nn.Module):
         is_cross = encoder_hidden_states is not None
         kv_input = encoder_hidden_states if is_cross else hidden_states
 
-        q = QDense(inner, use_bias=False, dtype=self.dtype, name="to_q")(
-            hidden_states, ctx)
-        # BoS protection applies to cross-attn k/v over text embeddings
-        # (quant_block.py:585-625).
-        k = QDense(inner, use_bias=False, dtype=self.dtype, name="to_k")(
-            kv_input, ctx, bos_aware=is_cross)
-        v = QDense(inner, use_bias=False, dtype=self.dtype, name="to_v")(
-            kv_input, ctx, bos_aware=is_cross)
+        # Fused QKV/KV projection (int8 deploy only): one shared-act-scale
+        # GEMM instead of three — see deploy.fuse_attention_projections.
+        dp_f = None
+        if ctx.mode == "int8" and ctx.deploy and ctx.fuse_qkv:
+            from ..quant.state import canonical_name
+
+            base = canonical_name(self.path)
+            dp_f = ctx.deploy.get(base + (".to_kv" if is_cross else ".to_qkv"))
+        if dp_f is not None:
+            from .layers import deploy_linear
+
+            y = deploy_linear(kv_input, dp_f, ctx.deploy_compute, self.dtype)
+            # BoS protection on cross-attn k/v (quant_block.py:585-625):
+            # FP (precomputed or dequantized-weight) first-token output.
+            # Weight-only 'dequant' compute doesn't quantize acts, so the
+            # BoS token needs no protection there (mirrors QDense).
+            if (is_cross and ctx.bos_aware and kv_input.ndim >= 3
+                    and ctx.deploy_compute not in ("dequant",
+                                                   "pallas_dequant")):
+                if dp_f.bos_out is not None:
+                    y0 = jnp.broadcast_to(
+                        dp_f.bos_out[None].astype(self.dtype),
+                        y.shape[:-2] + (1, dp_f.bos_out.shape[-1]))
+                else:
+                    w_fp = (dp_f.w_int.astype(jnp.float32)
+                            * (dp_f.scale * dp_f.scale_inv)[None, :])
+                    y0 = jnp.dot(kv_input[..., :1, :].astype(jnp.float32),
+                                 w_fp).astype(self.dtype)
+                y = jnp.concatenate([y0, y[..., 1:, :]], axis=-2)
+            if is_cross:
+                q = QDense(inner, use_bias=False, dtype=self.dtype,
+                           name="to_q")(hidden_states, ctx)
+                k, v = jnp.split(y, 2, axis=-1)
+            else:
+                q, k, v = jnp.split(y, 3, axis=-1)
+        else:
+            q = QDense(inner, use_bias=False, dtype=self.dtype, name="to_q")(
+                hidden_states, ctx)
+            # BoS protection applies to cross-attn k/v over text embeddings
+            # (quant_block.py:585-625).
+            k = QDense(inner, use_bias=False, dtype=self.dtype, name="to_k")(
+                kv_input, ctx, bos_aware=is_cross)
+            v = QDense(inner, use_bias=False, dtype=self.dtype, name="to_v")(
+                kv_input, ctx, bos_aware=is_cross)
 
         if ctx.qkv_quant:
             q = QAct(name="act_quantizer_q")(q, ctx)

@@ -44,6 +44,72 @@ def _sow_act_stats(mod: nn.Module, name: str, x: jnp.ndarray, suffix: str = ""):
     mod.sow("quant_stats", name + suffix, (mn, mx), reduce_fn=_minmax_reduce)
 
 
+def deploy_linear(x, dp, compute: str, dtype, fused_min_m: int = 1024):
+    """Real-quant matmul for one deploy entry (no bias, no BoS handling —
+    callers layer those on top). Shared by ``QDense`` and the fused
+    QKV/KV projection path in ``models/attention.py``.
+
+    ``compute`` strategies (see ``QuantCtx.deploy_compute``):
+    int8 (integer MXU + fused epilogue), dequant / pallas_dequant
+    (weight-only), fused_int8 (act-quantize fused into the Pallas GEMM).
+    Packed-W4 entries always use the Pallas nibble-unpack kernel.
+    """
+    from ..ops import qops
+
+    x = x.astype(dtype)
+    lead = x.shape[:-1]
+    if dp.w_packed is not None:
+        # halves-packed W4: Pallas in-kernel nibble unpack + bf16 MXU
+        # (4x weight memory vs bf16). CPU fallback unpacks.
+        w_delta = dp.scale * dp.scale_inv
+        x2 = x.reshape(-1, x.shape[-1])
+        if jax.default_backend() != "cpu":
+            from ..ops.pallas_wq_matmul import wq4_matmul
+
+            y2 = wq4_matmul(x2, dp.w_packed, w_delta, out_dtype=dtype)
+        else:
+            lo = (dp.w_packed & 0xF).astype(jnp.int8) - 8
+            hi = (dp.w_packed >> 4).astype(jnp.int8) - 8
+            w_int = jnp.concatenate([lo, hi], axis=0)
+            y2 = jnp.dot(x2, w_int.astype(dtype))
+            y2 = y2 * w_delta.astype(dtype)
+        return y2.reshape(*lead, y2.shape[-1])
+    if compute in ("dequant", "pallas_dequant"):
+        # weight-only int8: the convert (int8 -> bf16) fuses into the
+        # dot's operand read on TPU, and the per-out-channel scale
+        # applies to the OUTPUT — no bf16 weight tensor ever
+        # materializes in HBM (scaling before the dot would force one,
+        # measured 10x slower). 'pallas_dequant' uses the hand-written
+        # VMEM-dequant kernel instead.
+        w_delta = dp.scale * dp.scale_inv  # [N]
+        if compute == "pallas_dequant" and jax.default_backend() != "cpu":
+            from ..ops.pallas_wq_matmul import wq_matmul
+
+            y2 = wq_matmul(x.reshape(-1, x.shape[-1]), dp.w_int,
+                           w_delta, out_dtype=dtype)
+            return y2.reshape(*lead, y2.shape[-1])
+        y = jnp.dot(x, dp.w_int.astype(dtype))
+        return y * w_delta.astype(dtype)
+    M_total = x.size // x.shape[-1]
+    if (compute == "fused_int8" and M_total >= fused_min_m
+            and jax.default_backend() != "cpu"):
+        # act-quantize fused into the GEMM (saves the per-layer
+        # clamp/convert HBM round-trip): v2 kernel quantizes once per
+        # M-tile into VMEM scratch. Hybrid: only where M is large enough
+        # to pipeline — at small M the pallas call is DMA-latency-bound
+        # (grid of 1-2 steps, no overlap) and XLA's fused dot wins;
+        # small-M layers also contribute negligible quantize traffic
+        from ..ops.pallas_qmatmul import qmatmul_fused2
+
+        y2 = qmatmul_fused2(x.reshape(-1, x.shape[-1]), dp.w_int,
+                            dp.scale_inv, dp.zp_shifted, dp.scale,
+                            dp.bias0, out_dtype=dtype)
+        return y2.reshape(*lead, y2.shape[-1])
+    codes = qops.quantize_per_tensor(x, dp.scale_inv, dp.zp_shifted)
+    return qops.qlinear(codes, dp.w_int, dp.scale, dp.bias0,
+                        out_dtype=dtype)
+
+
 class QDense(nn.Module):
     """Quant-aware linear layer (reference QuantLayer over nn.Linear).
 
@@ -77,75 +143,18 @@ class QDense(nn.Module):
         dp = (ctx.deploy.get(name) if (ctx.mode == "int8" and ctx.deploy)
               else None)
         if dp is not None:
-            from ..ops import qops
-
+            if dp.kind == "fused_away":
+                raise ValueError(
+                    f"layer {name} was folded into a fused QKV/KV deploy "
+                    "entry; it must be called through the fused attention "
+                    "path (ctx.fuse_qkv)")
             x = x.astype(self.dtype)
-            if dp.w_packed is not None:
-                # halves-packed W4: Pallas in-kernel nibble unpack + bf16
-                # MXU (4x weight memory vs bf16). CPU fallback unpacks.
-                w_delta = dp.scale * dp.scale_inv
-                lead = x.shape[:-1]
-                x2 = x.reshape(-1, x.shape[-1])
-                if jax.default_backend() != "cpu":
-                    from ..ops.pallas_wq_matmul import wq4_matmul
-
-                    y2 = wq4_matmul(x2, dp.w_packed, w_delta,
-                                    out_dtype=self.dtype)
-                else:
-                    lo = (dp.w_packed & 0xF).astype(jnp.int8) - 8
-                    hi = (dp.w_packed >> 4).astype(jnp.int8) - 8
-                    w_int = jnp.concatenate([lo, hi], axis=0)
-                    y2 = jnp.dot(x2, w_int.astype(self.dtype))
-                    y2 = y2 * w_delta.astype(self.dtype)
-                y = y2.reshape(*lead, y2.shape[-1])
+            y = deploy_linear(x, dp, ctx.deploy_compute, self.dtype)
+            if dp.w_packed is not None or ctx.deploy_compute in (
+                    "dequant", "pallas_dequant"):
                 if bias is not None:
                     y = y + bias.astype(self.dtype)
                 return y
-            if ctx.deploy_compute in ("dequant", "pallas_dequant"):
-                # weight-only int8: the convert (int8 -> bf16) fuses into
-                # the dot's operand read on TPU, and the per-out-channel
-                # scale applies to the OUTPUT — no bf16 weight tensor ever
-                # materializes in HBM (scaling before the dot would force
-                # one, measured 10x slower). 'pallas_dequant' uses the
-                # hand-written VMEM-dequant kernel instead.
-                w_delta = dp.scale * dp.scale_inv  # [N]
-                if (ctx.deploy_compute == "pallas_dequant"
-                        and jax.default_backend() != "cpu"):
-                    from ..ops.pallas_wq_matmul import wq_matmul
-
-                    lead = x.shape[:-1]
-                    y2 = wq_matmul(x.reshape(-1, x.shape[-1]), dp.w_int,
-                                   w_delta, out_dtype=self.dtype)
-                    y = y2.reshape(*lead, y2.shape[-1])
-                else:
-                    y = jnp.dot(x, dp.w_int.astype(self.dtype))
-                    y = y * w_delta.astype(self.dtype)
-                if bias is not None:
-                    y = y + bias.astype(self.dtype)
-                return y
-            M_total = x.size // x.shape[-1]
-            if (ctx.deploy_compute == "fused_int8"
-                    and M_total >= 1024
-                    and jax.default_backend() != "cpu"):
-                # act-quantize fused into the GEMM (saves the per-layer
-                # clamp/convert HBM round-trip): v2 kernel quantizes once
-                # per M-tile into VMEM scratch. Hybrid: only where M is
-                # large enough to pipeline — at small M the pallas call is
-                # DMA-latency-bound (grid of 1-2 steps, no overlap) and
-                # XLA's fused dot wins; small-M layers also contribute
-                # negligible quantize traffic
-                from ..ops.pallas_qmatmul import qmatmul_fused2
-
-                lead = x.shape[:-1]
-                y2 = qmatmul_fused2(x.reshape(-1, x.shape[-1]), dp.w_int,
-                                    dp.scale_inv, dp.zp_shifted, dp.scale,
-                                    dp.bias0, out_dtype=self.dtype)
-                y = y2.reshape(*lead, y2.shape[-1])
-            else:
-                codes = qops.quantize_per_tensor(x, dp.scale_inv,
-                                                 dp.zp_shifted)
-                y = qops.qlinear(codes, dp.w_int, dp.scale, dp.bias0,
-                                 out_dtype=self.dtype)
             if bos_aware and ctx.bos_aware and x.ndim >= 3:
                 if dp.bos_out is not None:
                     # precomputed BoS output (bos_pre_computed.pt analogue,

@@ -68,6 +68,7 @@ def build_deploy_params(
     skip_spatial_convs: bool = False,
     pack_w4: bool = False,
     alphas: Optional[Dict[str, Any]] = None,
+    fuse_qkv: bool = False,
 ) -> Dict[str, Any]:
     """Build the deploy pytree for every layer present in ``layer_bits``
     whose activation path is A8 (int8 acceleration gate — the reference's
@@ -147,7 +148,95 @@ def build_deploy_params(
                 deploy[name] = entry(qops.prepare_qconv_params(
                     w, qp.w_delta[wb_idx], qp.a_delta[ab_idx],
                     qp.a_zp[ab_idx], n_bits=eff_bits, alpha=alpha), "conv")
+    if fuse_qkv:
+        deploy = fuse_attention_projections(
+            deploy, params, qparams, layer_bits, candidate_bits, alphas)
     return deploy
+
+
+def fuse_attention_projections(
+    deploy: Dict[str, Any],
+    params: Dict[str, Any],
+    qparams: Dict[str, LayerQParams],
+    layer_bits: Dict[str, Tuple[int, int]],
+    candidate_bits=(2, 4, 8),
+    alphas: Optional[Dict[str, Any]] = None,
+) -> Dict[str, Any]:
+    """Fold attention projection triplets into fused deploy entries.
+
+    Self-attention (``*.attn1``): to_q/to_k/to_v all consume the SAME
+    pre-norm tensor, so their calibrated per-tensor act scales coincide —
+    one set of int8 codes (quantized with to_q's scale) feeds a single
+    ``[K, 3N]`` GEMM whose per-column weight scales stay exact. Cross
+    attention (``*.attn2``): to_k/to_v share ``encoder_hidden_states``
+    the same way (to_q consumes the image stream and stays separate).
+
+    This removes 2/3 (resp. 1/2) of the activation-quantize passes —
+    measured ~18% of the int8 UNet step as standalone clamp/convert ops —
+    and triples the GEMM's N at SDXL's small spatial M, where the MXU is
+    width-starved. The reference runs the three projections as separate
+    CUTLASS GEMMs with three quantize launches (nn/Linear.py:154-177).
+
+    Member scales/bias0 are REBUILT against the anchor layer's act params
+    (not concatenated from the per-layer entries) so a small calibration
+    divergence between the twins cannot skew the epilogue: code scale and
+    column scale always match. Folded members are replaced with
+    ``kind='fused_away'`` markers so their fp kernels stay pruned and the
+    int8 codes are not stored twice.
+    """
+    alphas = alphas or {}
+    cb = list(candidate_bits)
+    layers = quantizable_layers(params)
+    out = dict(deploy)
+
+    def member_ok(n):
+        e = deploy.get(n)
+        return (e is not None and e.kind == "linear" and e.w_int is not None
+                and e.w_packed is None)
+
+    def get_w(n):
+        node = params
+        for p in layers[n]:
+            node = node[p]
+        return node["kernel"]
+
+    prefixes = sorted({n[: -len(".to_q")] for n in deploy
+                       if n.endswith(".to_q")})
+    for prefix in prefixes:
+        leaf = prefix.rsplit(".", 1)[-1]
+        if leaf == "attn1":
+            members = [f"{prefix}.to_q", f"{prefix}.to_k", f"{prefix}.to_v"]
+            anchor, fused_name = members[0], f"{prefix}.to_qkv"
+        elif leaf == "attn2":
+            members = [f"{prefix}.to_k", f"{prefix}.to_v"]
+            anchor, fused_name = members[0], f"{prefix}.to_kv"
+        else:
+            continue
+        if not all(member_ok(n) for n in members):
+            continue
+        ws = [get_w(n) for n in members]
+        if any(w.ndim != 2 or w.shape[0] != ws[0].shape[0] for w in ws):
+            continue
+        qa = qparams[anchor]
+        ab_idx = cb.index(layer_bits[anchor][1])
+        a_delta, a_zp = qa.a_delta[ab_idx], qa.a_zp[ab_idx]
+        preps = []
+        for n, w in zip(members, ws):
+            wb_idx = cb.index(layer_bits[n][0])
+            eff_bits = max(layer_bits[n][0], 4)
+            preps.append(qops.prepare_qlinear_params(
+                w, qparams[n].w_delta[wb_idx], a_delta, a_zp,
+                n_bits=eff_bits, alpha=alphas.get(n)))
+        out[fused_name] = DeployEntry(
+            kind="linear",
+            w_int=jnp.concatenate([p["w_int"] for p in preps], axis=1),
+            scale=jnp.concatenate([p["scale"] for p in preps]),
+            bias0=jnp.concatenate([p["bias0"] for p in preps]),
+            scale_inv=preps[0]["scale_inv"],
+            zp_shifted=preps[0]["zp_shifted"])
+        for n in members:
+            out[n] = DeployEntry(kind="fused_away")
+    return out
 
 
 def prune_deployed_kernels(params: Dict[str, Any], deploy: Dict[str, Any]):
@@ -180,6 +269,7 @@ def deploy_unet_ctx(unet, variables, qparams, ctrl, wq: QuantSpec,
                     skip_spatial_convs: bool = False,
                     pack_w4: bool = False,
                     alphas: Optional[Dict[str, Any]] = None,
+                    fuse_qkv: bool = False,
                     ) -> "QuantCtx":
     """Build an int8-mode QuantCtx (+ pruned params inside ``.deploy``
     consumers must fetch via ``deployed_params``). ``ctrl`` (dynamic) is
@@ -203,12 +293,12 @@ def deploy_unet_ctx(unet, variables, qparams, ctrl, wq: QuantSpec,
         lambda p, qp, al: build_deploy_params(
             p, qp, layer_bits, wq.candidate_bits, splits,
             skip_spatial_convs=skip_spatial_convs, pack_w4=pack_w4,
-            alphas=al)
+            alphas=al, fuse_qkv=fuse_qkv)
     )(params, qparams, alphas)
     logger.info("deployed %d/%d layers to int8", len(deploy),
                 len(quantizable_layers(params)))
     return QuantCtx(qparams=None, ctrl=None, deploy=deploy, mode="int8",
-                    wq=wq, aq=aq, bos_aware=bos_aware)
+                    wq=wq, aq=aq, bos_aware=bos_aware, fuse_qkv=fuse_qkv)
 
 
 def precompute_bos_outputs(deploy: Dict[str, Any], params: Dict[str, Any],
@@ -225,12 +315,25 @@ def precompute_bos_outputs(deploy: Dict[str, Any], params: Dict[str, Any],
     layers = quantizable_layers(params)
     out = dict(deploy)
     for name, e in deploy.items():
-        if ".attn2.to_k" not in name and ".attn2.to_v" not in name:
+        if name.endswith(".attn2.to_kv"):
+            # fused cross-attn k/v entry: concat of the two FP outputs
+            prefix = name[: -len(".to_kv")]
+            cols = []
+            for member in (f"{prefix}.to_k", f"{prefix}.to_v"):
+                node = params
+                for p in layers[member]:
+                    node = node[p]
+                cols.append(node["kernel"].astype(jnp.float32))
+            w = jnp.concatenate(cols, axis=1)  # [D, 2N]
+        elif ".attn2.to_k" in name or ".attn2.to_v" in name:
+            if e.kind == "fused_away":
+                continue
+            node = params
+            for p in layers[name]:
+                node = node[p]
+            w = node["kernel"].astype(jnp.float32)  # [D, N]
+        else:
             continue
-        node = params
-        for p in layers[name]:
-            node = node[p]
-        w = node["kernel"].astype(jnp.float32)  # [D, N]
         y0 = bos_embedding.astype(jnp.float32)[None, :] @ w  # [1, N]
         out[name] = e.replace(bos_out=y0)
     return out

@@ -269,6 +269,13 @@ class QuantCtx:
     capture_acts: bool = struct.field(pytree_node=False, default=False)
     bos_aware: bool = struct.field(pytree_node=False, default=False)
     qkv_quant: bool = struct.field(pytree_node=False, default=False)
+    # int8-mode only: route attention projections through fused QKV (self-
+    # attn) / KV (cross-attn) deploy entries — one shared-act-scale GEMM
+    # instead of three (build with deploy.fuse_attention_projections). The
+    # three projections consume the SAME tensor, so their calibrated act
+    # scales coincide and the fusion is numerically faithful; it removes
+    # 2/3 of the quantize passes and widens the GEMM N for MXU efficiency.
+    fuse_qkv: bool = struct.field(pytree_node=False, default=False)
     soft_round: bool = struct.field(pytree_node=False, default=False)
     # attention math implementation: 'einsum' = XLA bmm+softmax chain;
     # 'flash' = Pallas online-softmax kernel (logits stay in VMEM);

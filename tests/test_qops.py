@@ -287,3 +287,87 @@ def test_bos_precompute_matches_fp_first_token():
     # dequantizes int8 weights, the precompute uses true FP weights (the
     # reference's semantics, nn/Linear.py:178-194)
     assert s > 20.0, f"BoS precompute vs fallback SQNR: {s}"
+
+
+def test_fused_qkv_deploy_matches_unfused():
+    """fuse_qkv int8 deploy == per-layer int8 deploy (the act scales of
+    to_q/to_k/to_v come from the same tensor's statistics, so the shared-
+    scale fused GEMM is numerically faithful)."""
+    from mixdq_tpu.models.configs import TINY_SDXL_UNET
+    from mixdq_tpu.models.unet import UNet2DConditionModel
+    from mixdq_tpu.quant import calibrate as cal
+    from mixdq_tpu.quant.core import QuantSpec
+    from mixdq_tpu.quant.deploy import deploy_unet_ctx, deployed_params
+    from mixdq_tpu.quant.state import quantizable_layers, uniform_ctrl
+
+    model = UNet2DConditionModel(TINY_SDXL_UNET)
+    B = 2
+    b0 = (jax.random.normal(jax.random.PRNGKey(9), (B, 16, 16, 4)),
+          jnp.full((B,), 999.0),
+          jax.random.normal(jax.random.PRNGKey(8), (B, 77, 128)),
+          {"text_embeds": jnp.ones((B, 64)), "time_ids": jnp.ones((B, 6))})
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), *b0)
+    names = quantizable_layers(variables["params"])
+    WQ = QuantSpec(sym=True, channel_wise=True, round_mode="nearest")
+    AQ = QuantSpec(running_stat=True)
+    qparams = cal.calibrate(model, variables, [b0], WQ, AQ)
+    ctrl = uniform_ctrl(names, w_bits=8, a_bits=8)
+
+    ctx0 = deploy_unet_ctx(model, variables, qparams, ctrl, WQ, AQ,
+                           bos_aware=False)
+    out0 = jax.jit(lambda v, c, *a: model.apply(v, *a, c))(
+        deployed_params(variables, ctx0), ctx0, *b0)
+
+    ctx1 = deploy_unet_ctx(model, variables, qparams, ctrl, WQ, AQ,
+                           bos_aware=False, fuse_qkv=True)
+    fused = [n for n in ctx1.deploy
+             if n.endswith(".to_qkv") or n.endswith(".to_kv")]
+    assert fused, "no fused attention entries built"
+    away = [n for n, e in ctx1.deploy.items() if e.kind == "fused_away"]
+    assert len(away) >= len(fused)  # members folded, kernels stay pruned
+    pruned = deployed_params(variables, ctx1)
+    assert len(quantizable_layers(pruned["params"])) == 0
+    out1 = jax.jit(lambda v, c, *a: model.apply(v, *a, c))(pruned, ctx1, *b0)
+
+    s = float(sqnr(out0, out1))
+    assert s > 40.0, f"fused vs unfused int8 SQNR too low: {s}"
+
+
+def test_fused_qkv_bos_aware_cross_attention():
+    """BoS protection survives the fused KV path (precompute + fallback)."""
+    from mixdq_tpu.models.configs import TINY_SDXL_UNET
+    from mixdq_tpu.models.unet import UNet2DConditionModel
+    from mixdq_tpu.quant import calibrate as cal
+    from mixdq_tpu.quant.core import QuantSpec
+    from mixdq_tpu.quant.deploy import (deploy_unet_ctx, deployed_params,
+                                        precompute_bos_outputs)
+    from mixdq_tpu.quant.state import quantizable_layers, uniform_ctrl
+
+    model = UNet2DConditionModel(TINY_SDXL_UNET)
+    B = 2
+    ehs = jax.random.normal(jax.random.PRNGKey(4), (B, 77, 128))
+    bos_emb = ehs[0, 0]
+    ehs = ehs.at[:, 0, :].set(bos_emb)
+    b0 = (jax.random.normal(jax.random.PRNGKey(3), (B, 16, 16, 4)),
+          jnp.full((B,), 999.0), ehs,
+          {"text_embeds": jnp.ones((B, 64)), "time_ids": jnp.ones((B, 6))})
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), *b0)
+    names = quantizable_layers(variables["params"])
+    WQ = QuantSpec(sym=True, channel_wise=True, round_mode="nearest")
+    AQ = QuantSpec(running_stat=True)
+    qparams = cal.calibrate(model, variables, [b0], WQ, AQ)
+    ctrl = uniform_ctrl(names, w_bits=8, a_bits=8)
+
+    ctx = deploy_unet_ctx(model, variables, qparams, ctrl, WQ, AQ,
+                          bos_aware=True, fuse_qkv=True)
+    assert any(n.endswith(".attn2.to_kv") for n in ctx.deploy)
+    ctx_pre = ctx.replace(deploy=precompute_bos_outputs(
+        ctx.deploy, variables["params"], bos_emb))
+    kv = [e for n, e in ctx_pre.deploy.items() if n.endswith(".attn2.to_kv")]
+    assert all(e.bos_out is not None for e in kv)
+    pruned = deployed_params(variables, ctx)
+    out_fb = jax.jit(lambda v, c, *a: model.apply(v, *a, c))(pruned, ctx, *b0)
+    out_pre = jax.jit(lambda v, c, *a: model.apply(v, *a, c))(
+        pruned, ctx_pre, *b0)
+    s = float(sqnr(out_fb, out_pre))
+    assert s > 20.0, f"fused-KV BoS precompute vs fallback SQNR: {s}"
