@@ -121,20 +121,29 @@ def main():
     # environment migrates between hosts with very different perf
     # characteristics, so sequential per-mode measurement is unfair.
     variants = {}
-    if backend in ("int8", "int8_fq", "fused_int8", "dequant", "auto"):
+    if backend in ("int8", "int8_fq", "int8_fq_tf", "fused_int8", "dequant",
+                   "auto"):
         from mixdq_tpu.quant.deploy import deploy_unet_ctx, deployed_params
+        # int8_fq_tf excluded from auto: measured 3x slower in-model (the
+        # pallas custom-calls force s32 conv outputs with degenerate
+        # T(1,128) layouts on the surrounding resnets; DESIGN_NOTES.md)
         modes = ([backend] if backend != "auto"
-                 else ["int8", "int8_fq", "dequant"])
+                 else ["int8", "int8_fq", "int8_fq_cd"])
         for m in modes:
             # int8_fq = int8 compute + fused QKV/KV attention projections
-            # (one shared-act-scale GEMM instead of three)
-            compute = "int8" if m == "int8_fq" else m
+            # (one shared-act-scale GEMM instead of three); int8_fq_tf
+            # additionally fuses act-quantize into Pallas GEMMs inside
+            # transformer blocks (deploy_compute='int8_tf'); int8_fq_cd
+            # keeps spatial convs weight-only (XLA s8 convs run at bf16
+            # MXU speed, so conv act-quantize is pure overhead)
+            compute = {"int8_fq": "int8", "int8_fq_tf": "int8_tf",
+                       "int8_fq_cd": "int8_cd"}.get(m, m)
             # dequant mode keeps spatial convs FP (convert fuses into
             # matmuls but not convs; dense = 87% of SDXL weights)
             ctx = deploy_unet_ctx(unet, variables, qparams, ctrl, wq, aq,
                                   skip_spatial_convs=(m == "dequant"),
                                   pack_w4=(w_bits == 4 and m == "dequant"),
-                                  fuse_qkv=(m == "int8_fq"))
+                                  fuse_qkv=m.startswith("int8_fq"))
             ctx = ctx.replace(deploy_compute=compute, attn_impl=attn)
             q_vars = jax.device_put(deployed_params(variables, ctx))
             variants[m] = (q_vars, ctx)

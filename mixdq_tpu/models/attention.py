@@ -57,9 +57,12 @@ class Attention(nn.Module):
             base = canonical_name(self.path)
             dp_f = ctx.deploy.get(base + (".to_kv" if is_cross else ".to_qkv"))
         if dp_f is not None:
-            from .layers import deploy_linear
+            from .layers import deploy_linear, fused_min_m, resolve_compute
 
-            y = deploy_linear(kv_input, dp_f, ctx.deploy_compute, self.dtype)
+            fused_name = base + (".to_kv" if is_cross else ".to_qkv")
+            y = deploy_linear(kv_input, dp_f,
+                              resolve_compute(ctx.deploy_compute, fused_name),
+                              self.dtype, fused_min_m=fused_min_m(ctx))
             # BoS protection on cross-attn k/v (quant_block.py:585-625):
             # FP (precomputed or dequantized-weight) first-token output.
             # Weight-only 'dequant' compute doesn't quantize acts, so the
@@ -143,7 +146,9 @@ class GEGLU(nn.Module):
     def __call__(self, x, ctx: QuantCtx = QuantCtx()):
         h = QDense(self.inner_dim * 2, dtype=self.dtype, name="proj")(x, ctx)
         h, gate = jnp.split(h, 2, axis=-1)
-        return h * nn.gelu(gate, approximate=False)
+        # tanh-approx by default (ctx.gelu): exact erf gelu lowers to a
+        # ~35-op f32 erfc polynomial on TPU — see QuantCtx.gelu
+        return h * nn.gelu(gate, approximate=(ctx.gelu == "tanh"))
 
 
 class FeedForward(nn.Module):

@@ -44,6 +44,40 @@ def _sow_act_stats(mod: nn.Module, name: str, x: jnp.ndarray, suffix: str = ""):
     mod.sow("quant_stats", name + suffix, (mn, mx), reduce_fn=_minmax_reduce)
 
 
+def resolve_compute(compute: str, name: str, spatial_conv: bool = False) -> str:
+    """Map the ctx-level deploy compute strategy to a per-layer one.
+
+    ``int8_tf`` (transformer-fused) routes dense layers INSIDE transformer
+    blocks through the Pallas act-quantize-fused GEMM and everything else
+    (convs, proj_in/out at the conv-section boundary, time-embedding
+    projections) through the XLA int8 path. The interior is conv-free, so
+    the pallas custom-calls cannot poison XLA's conv layout assignment
+    (the failure mode that made whole-model 'fused_int8' 3x slower,
+    DESIGN_NOTES.md) — while the interior's standalone quantize fusions
+    (measured 2.5-3 ms of an 11 ms SDXL-Turbo int8 step, profile_unet.py)
+    disappear into the GEMMs."""
+    if compute == "int8_tf":
+        return ("fused_int8" if ".transformer_blocks." in name else "int8")
+    if compute == "int8_cd":
+        # conv-dequant hybrid: dense/1x1 layers take the full int8 path,
+        # spatial convs go weight-only. Rationale (profile_unet.py on
+        # v5e): XLA lowers s8 convs by upconverting into the bf16 MXU
+        # pipeline — int8 conv math runs at bf16 speed (~120 TOP/s vs the
+        # native 394), so quantizing conv INPUTS buys nothing and costs
+        # the quantize pass + act quant error; int8-resident conv weights
+        # keep the 2x memory win and the operand convert fuses into the
+        # conv read.
+        return "dequant" if spatial_conv else "int8"
+    return compute
+
+
+def fused_min_m(ctx) -> int:
+    # int8_tf targets the small-spatial transformer levels (M=256 at 16x16
+    # is where 60 of SDXL's 70 blocks live); plain fused_int8 keeps the
+    # conservative gate
+    return 256 if ctx.deploy_compute == "int8_tf" else 1024
+
+
 def deploy_linear(x, dp, compute: str, dtype, fused_min_m: int = 1024):
     """Real-quant matmul for one deploy entry (no bias, no BoS handling —
     callers layer those on top). Shared by ``QDense`` and the fused
@@ -149,7 +183,8 @@ class QDense(nn.Module):
                     "entry; it must be called through the fused attention "
                     "path (ctx.fuse_qkv)")
             x = x.astype(self.dtype)
-            y = deploy_linear(x, dp, ctx.deploy_compute, self.dtype)
+            y = deploy_linear(x, dp, resolve_compute(ctx.deploy_compute, name),
+                              self.dtype, fused_min_m=fused_min_m(ctx))
             if dp.w_packed is not None or ctx.deploy_compute in (
                     "dequant", "pallas_dequant"):
                 if bias is not None:
@@ -230,8 +265,10 @@ class QConv(nn.Module):
         dp = (ctx.deploy.get(name) if (ctx.mode == "int8" and ctx.deploy)
               else None)
         if dp is not None:
+            spatial = kh * kw > 1
             y = self._int8_forward(x.astype(self.dtype), dp, split,
-                                   mode=ctx.deploy_compute)
+                                   mode=resolve_compute(ctx.deploy_compute,
+                                                        name, spatial))
             if bias is not None:
                 y = y + bias.astype(self.dtype)
             return y

@@ -87,6 +87,9 @@ def main():
     ap.add_argument("--batch_size", type=int, default=2)
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--backend", choices=["fake", "int8"], default="fake")
+    ap.add_argument("--fuse_qkv", action="store_true",
+                    help="int8: fuse attention q/k/v projections into one "
+                         "shared-act-scale GEMM")
     ap.add_argument("--outdir", default=None)
     args = ap.parse_args()
 
@@ -105,7 +108,7 @@ def main():
         bos_aware = cfg.inference.get("bos_aware", True)
         ctx = deploy_unet_ctx(
             pipe.unet, {"params": params["unet"]}, qparams, ctx.ctrl, wq, aq,
-            splits=pipe.splits, bos_aware=bos_aware)
+            splits=pipe.splits, bos_aware=bos_aware, fuse_qkv=args.fuse_qkv)
         if bos_aware:
             # BoS encoder output is prompt-independent (causal attention):
             # precompute per-layer k/v BoS outputs offline

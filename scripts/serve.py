@@ -32,6 +32,9 @@ def main():
     ap.add_argument("--config", default=None,
                     help="config yaml (FP serving without experiment dir)")
     ap.add_argument("--backend", choices=["fp", "fake", "int8"], default="fp")
+    ap.add_argument("--fuse_qkv", action="store_true",
+                    help="int8: fuse attention q/k/v projections into one "
+                         "shared-act-scale GEMM")
     ap.add_argument("--batch_size", type=int, default=4)
     ap.add_argument("--steps", type=int, default=None)
     ap.add_argument("--dp", type=int, default=1,
@@ -66,7 +69,8 @@ def main():
             wq, aq, _ = specs_from_config(cfg)
             ctx = deploy_unet_ctx(pipe.unet, {"params": params["unet"]},
                                   qparams, ctx.ctrl, wq, aq,
-                                  splits=pipe.splits)
+                                  splits=pipe.splits,
+                                  fuse_qkv=args.fuse_qkv)
             params = {**params, "unet": prune_deployed_kernels(
                 params["unet"], ctx.deploy)}
 

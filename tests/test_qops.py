@@ -371,3 +371,53 @@ def test_fused_qkv_bos_aware_cross_attention():
         pruned, ctx_pre, *b0)
     s = float(sqnr(out_fb, out_pre))
     assert s > 20.0, f"fused-KV BoS precompute vs fallback SQNR: {s}"
+
+
+def test_int8_cd_conv_dequant_hybrid():
+    """int8_cd: spatial convs weight-only, dense fully int8 — output sits
+    between full int8 and weight-only, close to both."""
+    from mixdq_tpu.models.configs import TINY_SDXL_UNET
+    from mixdq_tpu.models.unet import UNet2DConditionModel
+    from mixdq_tpu.quant import calibrate as cal
+    from mixdq_tpu.quant.core import QuantSpec
+    from mixdq_tpu.quant.deploy import deploy_unet_ctx, deployed_params
+    from mixdq_tpu.quant.state import quantizable_layers, uniform_ctrl
+
+    model = UNet2DConditionModel(TINY_SDXL_UNET)
+    B = 1
+    b0 = (jax.random.normal(jax.random.PRNGKey(5), (B, 16, 16, 4)),
+          jnp.full((B,), 999.0),
+          jax.random.normal(jax.random.PRNGKey(6), (B, 77, 128)),
+          {"text_embeds": jnp.ones((B, 64)), "time_ids": jnp.ones((B, 6))})
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), *b0)
+    names = quantizable_layers(variables["params"])
+    WQ = QuantSpec(sym=True, channel_wise=True, round_mode="nearest")
+    AQ = QuantSpec(running_stat=True)
+    qparams = cal.calibrate(model, variables, [b0], WQ, AQ)
+    ctrl = uniform_ctrl(names, w_bits=8, a_bits=8)
+    ctx = deploy_unet_ctx(model, variables, qparams, ctrl, WQ, AQ,
+                          bos_aware=False)
+    pruned = deployed_params(variables, ctx)
+    run = jax.jit(lambda v, c, *a: model.apply(v, *a, c))
+    out_int8 = run(pruned, ctx, *b0)
+    out_cd = run(pruned, ctx.replace(deploy_compute="int8_cd"), *b0)
+    s = float(sqnr(out_int8, out_cd))
+    assert s > 20.0, f"int8_cd vs int8 SQNR too low: {s}"
+    # differs from plain int8 (convs keep FP activations)
+    assert not jnp.allclose(out_int8, out_cd)
+
+
+def test_gelu_exact_vs_tanh_ctx():
+    """QuantCtx.gelu switches GEGLU between tanh-approx (default) and the
+    diffusers-parity exact erf gelu."""
+    from mixdq_tpu.models.attention import GEGLU
+    from mixdq_tpu.quant.state import QuantCtx
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 16))
+    m = GEGLU(16)
+    v = m.init(jax.random.PRNGKey(1), x)
+    y_tanh = m.apply(v, x, QuantCtx())
+    y_exact = m.apply(v, x, QuantCtx(gelu="exact"))
+    # close but not identical
+    assert float(jnp.max(jnp.abs(y_tanh - y_exact))) < 1e-2
+    assert not jnp.allclose(y_tanh, y_exact)
