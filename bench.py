@@ -128,7 +128,7 @@ def main():
         # pallas custom-calls force s32 conv outputs with degenerate
         # T(1,128) layouts on the surrounding resnets; DESIGN_NOTES.md)
         modes = ([backend] if backend != "auto"
-                 else ["int8", "int8_fq", "int8_fq_cd"])
+                 else ["int8", "int8_fq", "int8_fq_pc"])
         for m in modes:
             # int8_fq = int8 compute + fused QKV/KV attention projections
             # (one shared-act-scale GEMM instead of three); int8_fq_tf
@@ -136,8 +136,11 @@ def main():
             # transformer blocks (deploy_compute='int8_tf'); int8_fq_cd
             # keeps spatial convs weight-only (XLA s8 convs run at bf16
             # MXU speed, so conv act-quantize is pure overhead)
+            # int8_fq_pc: + stride-1 3x3 convs via the Pallas implicit-
+            # GEMM int8 conv kernel (native int8 MXU)
             compute = {"int8_fq": "int8", "int8_fq_tf": "int8_tf",
-                       "int8_fq_cd": "int8_cd"}.get(m, m)
+                       "int8_fq_cd": "int8_cd",
+                       "int8_fq_pc": "int8_pc"}.get(m, m)
             # dequant mode keeps spatial convs FP (convert fuses into
             # matmuls but not convs; dense = 87% of SDXL weights)
             ctx = deploy_unet_ctx(unet, variables, qparams, ctrl, wq, aq,

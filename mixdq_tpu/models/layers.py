@@ -68,6 +68,12 @@ def resolve_compute(compute: str, name: str, spatial_conv: bool = False) -> str:
         # keep the 2x memory win and the operand convert fuses into the
         # conv read.
         return "dequant" if spatial_conv else "int8"
+    if compute == "int8_pc":
+        # pallas-conv mode: stride-1 3x3 convs use the implicit-GEMM
+        # int8 Pallas kernel (native int8 MXU — XLA's s8 convs upconvert
+        # to the bf16 pipeline); dense layers and other convs take the
+        # XLA int8 path
+        return compute if spatial_conv else "int8"
     return compute
 
 
@@ -366,6 +372,22 @@ class QConv(nn.Module):
                 return y0 + y1
             y = self._conv(x, dp.w_int.astype(self.dtype))
             return y * (dp.scale * dp.scale_inv).astype(self.dtype)
+        use_pallas = (
+            mode == "int8_pc" and self.strides == (1, 1)
+            and self.kernel_size == (3, 3) and x.shape[-1] >= 128
+            and jax.default_backend() != "cpu")
+
+        def conv_int8(codes, e):
+            if use_pallas:
+                from ..ops.pallas_qconv import qconv2d_pallas
+
+                return qconv2d_pallas(codes, e.w_int, e.scale, e.bias0,
+                                      e.zp_shifted, padding=pad,
+                                      out_dtype=self.dtype)
+            return qops.qconv2d(codes, e.w_int, e.scale, e.bias0,
+                                e.zp_shifted, strides=self.strides,
+                                padding=pad, out_dtype=self.dtype)
+
         if dp.kind == "conv_split":
             s = dp.split
             p0, p1 = dp.part0, dp.part1
@@ -373,17 +395,9 @@ class QConv(nn.Module):
                                           p0.zp_shifted)
             c1 = qops.quantize_per_tensor(x[..., s:], p1.scale_inv,
                                           p1.zp_shifted)
-            y0 = qops.qconv2d(c0, p0.w_int, p0.scale, p0.bias0,
-                              p0.zp_shifted, strides=self.strides,
-                              padding=pad, out_dtype=self.dtype)
-            y1 = qops.qconv2d(c1, p1.w_int, p1.scale, p1.bias0,
-                              p1.zp_shifted, strides=self.strides,
-                              padding=pad, out_dtype=self.dtype)
-            return y0 + y1
+            return conv_int8(c0, p0) + conv_int8(c1, p1)
         codes = qops.quantize_per_tensor(x, dp.scale_inv, dp.zp_shifted)
-        return qops.qconv2d(codes, dp.w_int, dp.scale, dp.bias0,
-                            dp.zp_shifted, strides=self.strides,
-                            padding=pad, out_dtype=self.dtype)
+        return conv_int8(codes, dp)
 
 
 class QAct(nn.Module):

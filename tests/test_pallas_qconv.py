@@ -1,0 +1,96 @@
+"""Pallas implicit-GEMM int8 conv vs the XLA int8 conv oracle
+(which itself is golden-tested against the dequantized-FP reference in
+test_qops.py — the reference's conv self-test strategy,
+kernels/mixdq_extension/op/qconv2d.py:25-123)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mixdq_tpu.ops import qops
+from mixdq_tpu.ops.pallas_qconv import qconv2d_pallas
+
+
+@pytest.mark.parametrize(
+    "B,H,W,C,K,pad,bias_on",
+    [
+        (1, 8, 8, 16, 32, 1, True),
+        (2, 16, 16, 64, 128, 1, False),
+        (1, 8, 8, 24, 16, 0, True),  # unaligned C, no padding
+        (1, 12, 12, 32, 32, 1, True),  # width not a multiple of 8
+    ],
+)
+def test_pallas_qconv_matches_xla_int8(B, H, W, C, K, pad, bias_on):
+    rng = np.random.RandomState(0)
+    codes = rng.randint(-128, 128, (B, H, W, C)).astype(np.int8)
+    w = rng.randint(-128, 128, (3, 3, C, K)).astype(np.int8)
+    scale = (rng.rand(K).astype(np.float32) + 0.5) * 0.01
+    zp_s = np.float32(-11.0)
+    bias0 = zp_s * w.astype(np.int64).sum((0, 1, 2)).astype(np.float32)
+    bias = rng.randn(K).astype(np.float32) if bias_on else None
+
+    want = qops.qconv2d(
+        jnp.asarray(codes), jnp.asarray(w), jnp.asarray(scale),
+        jnp.asarray(bias0), jnp.asarray(zp_s),
+        None if bias is None else jnp.asarray(bias),
+        strides=(1, 1), padding=(pad, pad), out_dtype=jnp.float32)
+    got = qconv2d_pallas(
+        jnp.asarray(codes), jnp.asarray(w), jnp.asarray(scale),
+        jnp.asarray(bias0), jnp.asarray(zp_s),
+        None if bias is None else jnp.asarray(bias),
+        padding=(pad, pad), out_dtype=jnp.float32, interpret=True)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-3, atol=1e-2)
+
+
+def test_pallas_qconv_zp_padding_semantics():
+    """Padded positions represent x=0 exactly (zp-code padding): the
+    pallas conv of a zp-constant image equals bias over the interior."""
+    C, K = 16, 8
+    zp_s = jnp.float32(5.0)
+    codes = jnp.full((1, 8, 8, C), 5, jnp.int8)  # all pixels = zp -> x=0
+    w = jnp.asarray(np.random.RandomState(1).randint(-4, 4, (3, 3, C, K)),
+                    jnp.int8)
+    scale = jnp.ones((K,), jnp.float32) * 0.1
+    bias0 = zp_s * w.astype(jnp.int32).sum((0, 1, 2)).astype(jnp.float32)
+    bias = jnp.arange(K, dtype=jnp.float32)
+    out = qconv2d_pallas(codes, w, scale, bias0, zp_s, bias,
+                         padding=(1, 1), out_dtype=jnp.float32,
+                         interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out), np.broadcast_to(np.arange(K, dtype=np.float32),
+                                         out.shape), atol=1e-5)
+
+
+def test_int8_pc_mode_cpu_fallback_matches_int8():
+    """On CPU the int8_pc mode falls back to the XLA conv — outputs are
+    identical to plain int8 mode (gate check for the deploy plumbing)."""
+    from mixdq_tpu.models.configs import TINY_SDXL_UNET
+    from mixdq_tpu.models.unet import UNet2DConditionModel
+    from mixdq_tpu.quant import calibrate as cal
+    from mixdq_tpu.quant.core import QuantSpec
+    from mixdq_tpu.quant.deploy import deploy_unet_ctx, deployed_params
+    from mixdq_tpu.quant.state import quantizable_layers, uniform_ctrl
+
+    model = UNet2DConditionModel(TINY_SDXL_UNET)
+    B = 1
+    b0 = (jax.random.normal(jax.random.PRNGKey(5), (B, 16, 16, 4)),
+          jnp.full((B,), 999.0),
+          jax.random.normal(jax.random.PRNGKey(6), (B, 77, 128)),
+          {"text_embeds": jnp.ones((B, 64)), "time_ids": jnp.ones((B, 6))})
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), *b0)
+    names = quantizable_layers(variables["params"])
+    WQ = QuantSpec(sym=True, channel_wise=True, round_mode="nearest")
+    AQ = QuantSpec(running_stat=True)
+    qparams = cal.calibrate(model, variables, [b0], WQ, AQ)
+    ctrl = uniform_ctrl(names, w_bits=8, a_bits=8)
+    ctx = deploy_unet_ctx(model, variables, qparams, ctrl, WQ, AQ,
+                          bos_aware=False)
+    pruned = deployed_params(variables, ctx)
+    run = jax.jit(lambda v, c, *a: model.apply(v, *a, c))
+    out_int8 = run(pruned, ctx, *b0)
+    out_pc = run(pruned, ctx.replace(deploy_compute="int8_pc"), *b0)
+    np.testing.assert_allclose(np.asarray(out_int8), np.asarray(out_pc),
+                               atol=1e-5)
