@@ -127,8 +127,10 @@ def main():
         # int8_fq_tf excluded from auto: measured 3x slower in-model (the
         # pallas custom-calls force s32 conv outputs with degenerate
         # T(1,128) layouts on the surrounding resnets; DESIGN_NOTES.md)
-        modes = ([backend] if backend != "auto"
-                 else ["int8", "int8_fq", "int8_fq_pc"])
+        # auto = the two contenders; the pallas-kernel modes (int8_fq_pc /
+        # int8_fq_tf / int8_cd) lose in-model (DESIGN_NOTES) and stay
+        # explicit-only
+        modes = ([backend] if backend != "auto" else ["int8", "int8_fq"])
         for m in modes:
             # int8_fq = int8 compute + fused QKV/KV attention projections
             # (one shared-act-scale GEMM instead of three); int8_fq_tf

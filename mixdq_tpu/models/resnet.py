@@ -67,6 +67,10 @@ class Upsample2D(nn.Module):
     @nn.compact
     def __call__(self, x, ctx: QuantCtx = QuantCtx()):
         B, H, W, C = x.shape
-        x = jax.image.resize(x, (B, H * 2, W * 2, C), method="nearest")
+        # nearest 2x via broadcast+reshape — identical to
+        # jax.image.resize(method='nearest') but avoids its gather
+        # lowering (indexed loads instead of a pure layout op)
+        x = jnp.broadcast_to(x[:, :, None, :, None, :],
+                             (B, H, 2, W, 2, C)).reshape(B, H * 2, W * 2, C)
         return QConv(self.channels, (3, 3), padding=1, dtype=self.dtype,
                      name="conv")(x, ctx)
