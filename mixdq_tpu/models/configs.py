@@ -87,6 +87,12 @@ class ModelFamilyConfig:
     is_sdxl: bool = True
     default_steps: int = 1
     guidance_scale: float = 0.0
+    # measured-best int8 deploy compute strategy on TPU v5e (bench.py):
+    # transformer-heavy SDXL wins with the full int8 MXU path + fused QKV
+    # ('int8'); conv-heavy SD1.5 loses on int8 (0.76x — quantize passes
+    # over large 64x64 spatial activations dominate) and serves best
+    # weight-only ('dequant', 1.06x + 2x weight memory)
+    default_deploy_compute: str = "int8"
 
 
 # --- SDXL / SDXL-Turbo (same UNet arch; Turbo = 1-step distilled) --------
@@ -180,6 +186,7 @@ FAMILIES = {
     "sd15": ModelFamilyConfig(
         name="sd15", unet=SD15_UNET, vae=SD15_VAE,
         text_encoder=_CLIP_L, is_sdxl=False,
+        default_deploy_compute="dequant",
         default_steps=4, guidance_scale=1.0),
     "tiny-sdxl": ModelFamilyConfig(
         name="tiny-sdxl", unet=TINY_SDXL_UNET, vae=TINY_VAE,
