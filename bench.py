@@ -145,10 +145,20 @@ def main():
                        "int8_fq_pc": "int8_pc"}.get(m, m)
             # dequant mode keeps spatial convs FP (convert fuses into
             # matmuls but not convs; dense = 87% of SDXL weights)
+            # W4: dense weights ship halves-packed in every mode — the
+            # int8 modes unpack in-graph (hoisted out of the sampler
+            # scan, full int8 speed); dequant mode uses the pallas wq4
+            # kernel (no transient unpacked copy, slower)
             ctx = deploy_unet_ctx(unet, variables, qparams, ctrl, wq, aq,
                                   skip_spatial_convs=(m == "dequant"),
-                                  pack_w4=(w_bits == 4 and m == "dequant"),
+                                  pack_w4=(w_bits == 4),
                                   fuse_qkv=m.startswith("int8_fq"))
+            if w_bits == 4 and m != "dequant":
+                # latency-optimal W4: unpack once outside the sampler
+                # loop (4x checkpoint, W8A8-speed steps); 'dequant' keeps
+                # the packed pallas-wq4 route (4x resident end-to-end)
+                from mixdq_tpu.quant.deploy import unpack_packed_entries
+                ctx = ctx.replace(deploy=unpack_packed_entries(ctx.deploy))
             ctx = ctx.replace(deploy_compute=compute, attn_impl=attn)
             q_vars = jax.device_put(deployed_params(variables, ctx))
             variants[m] = (q_vars, ctx)

@@ -75,7 +75,12 @@ class Attention(nn.Module):
                         dp_f.bos_out[None].astype(self.dtype),
                         y.shape[:-2] + (1, dp_f.bos_out.shape[-1]))
                 else:
-                    w_fp = (dp_f.w_int.astype(jnp.float32)
+                    w_int = dp_f.w_int
+                    if w_int is None:  # packed-W4 fused entry
+                        lo = (dp_f.w_packed & 0xF).astype(jnp.int8) - 8
+                        hi = (dp_f.w_packed >> 4).astype(jnp.int8) - 8
+                        w_int = jnp.concatenate([lo, hi], axis=0)
+                    w_fp = (w_int.astype(jnp.float32)
                             * (dp_f.scale * dp_f.scale_inv)[None, :])
                     y0 = jnp.dot(kv_input[..., :1, :].astype(jnp.float32),
                                  w_fp).astype(self.dtype)

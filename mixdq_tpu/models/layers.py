@@ -98,6 +98,19 @@ def deploy_linear(x, dp, compute: str, dtype, fused_min_m: int = 1024):
 
     x = x.astype(dtype)
     lead = x.shape[:-1]
+    if dp.w_packed is not None and compute in ("int8", "fused_int8"):
+        # W4 with int8 MXU math: unpack the halves-packed nibbles to int8
+        # codes with XLA ops (the reference's quint4x2-storage/int8-compute
+        # design, quantize_sdxl.py:46-48). Under the sampler scan XLA
+        # hoists this loop-invariant unpack OUT of the loop, so steps run
+        # at full int8 speed while the resident checkpoint stays 4x
+        # packed. (The pallas wq4 kernel route — 'dequant' compute —
+        # avoids the transient unpacked copy but measured 2.2x slower
+        # in-model; see DESIGN_NOTES.)
+        lo = (dp.w_packed & 0xF).astype(jnp.int8) - 8
+        hi = (dp.w_packed >> 4).astype(jnp.int8) - 8
+        dp = dp.replace(w_int=jnp.concatenate([lo, hi], axis=0),
+                        w_packed=None)
     if dp.w_packed is not None:
         # halves-packed W4: Pallas in-kernel nibble unpack + bf16 MXU
         # (4x weight memory vs bf16). CPU fallback unpacks.
@@ -189,10 +202,16 @@ class QDense(nn.Module):
                     "entry; it must be called through the fused attention "
                     "path (ctx.fuse_qkv)")
             x = x.astype(self.dtype)
-            y = deploy_linear(x, dp, resolve_compute(ctx.deploy_compute, name),
-                              self.dtype, fused_min_m=fused_min_m(ctx))
-            if dp.w_packed is not None or ctx.deploy_compute in (
-                    "dequant", "pallas_dequant"):
+            rc = resolve_compute(ctx.deploy_compute, name)
+            y = deploy_linear(x, dp, rc, self.dtype,
+                              fused_min_m=fused_min_m(ctx))
+            # weight-only routes (dequant family; packed-W4 via the wq4
+            # kernel) don't quantize acts, so the BoS token needs no
+            # protection there. Packed entries under int8 compute unpack
+            # in-graph and continue to the BoS path below.
+            if ((dp.w_packed is not None
+                 and rc not in ("int8", "fused_int8"))
+                    or rc in ("dequant", "pallas_dequant")):
                 if bias is not None:
                     y = y + bias.astype(self.dtype)
                 return y

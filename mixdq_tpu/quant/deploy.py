@@ -150,7 +150,8 @@ def build_deploy_params(
                     qp.a_zp[ab_idx], n_bits=eff_bits, alpha=alpha), "conv")
     if fuse_qkv:
         deploy = fuse_attention_projections(
-            deploy, params, qparams, layer_bits, candidate_bits, alphas)
+            deploy, params, qparams, layer_bits, candidate_bits, alphas,
+            pack_w4=pack_w4)
     return deploy
 
 
@@ -161,6 +162,7 @@ def fuse_attention_projections(
     layer_bits: Dict[str, Tuple[int, int]],
     candidate_bits=(2, 4, 8),
     alphas: Optional[Dict[str, Any]] = None,
+    pack_w4: bool = False,
 ) -> Dict[str, Any]:
     """Fold attention projection triplets into fused deploy entries.
 
@@ -190,9 +192,11 @@ def fuse_attention_projections(
     out = dict(deploy)
 
     def member_ok(n):
+        # packed-W4 members are fine: the fused entry is rebuilt from
+        # qparams + fp weights, then re-packed below
         e = deploy.get(n)
-        return (e is not None and e.kind == "linear" and e.w_int is not None
-                and e.w_packed is None)
+        return (e is not None and e.kind == "linear"
+                and (e.w_int is not None or e.w_packed is not None))
 
     def get_w(n):
         node = params
@@ -227,13 +231,21 @@ def fuse_attention_projections(
             preps.append(qops.prepare_qlinear_params(
                 w, qparams[n].w_delta[wb_idx], a_delta, a_zp,
                 n_bits=eff_bits, alpha=alphas.get(n)))
-        out[fused_name] = DeployEntry(
+        w_int = jnp.concatenate([p["w_int"] for p in preps], axis=1)
+        entry_kw = dict(
             kind="linear",
-            w_int=jnp.concatenate([p["w_int"] for p in preps], axis=1),
             scale=jnp.concatenate([p["scale"] for p in preps]),
             bias0=jnp.concatenate([p["bias0"] for p in preps]),
             scale_inv=preps[0]["scale_inv"],
             zp_shifted=preps[0]["zp_shifted"])
+        all_w4 = all(layer_bits[n][0] <= 4 for n in members)
+        if pack_w4 and all_w4 and w_int.shape[0] % 2 == 0:
+            from ..ops.pallas_wq_matmul import pack_w4_halves
+
+            out[fused_name] = DeployEntry(w_packed=pack_w4_halves(w_int),
+                                          **entry_kw)
+        else:
+            out[fused_name] = DeployEntry(w_int=w_int, **entry_kw)
         for n in members:
             out[n] = DeployEntry(kind="fused_away")
     return out
@@ -299,6 +311,37 @@ def deploy_unet_ctx(unet, variables, qparams, ctrl, wq: QuantSpec,
                 len(quantizable_layers(params)))
     return QuantCtx(qparams=None, ctrl=None, deploy=deploy, mode="int8",
                     wq=wq, aq=aq, bos_aware=bos_aware, fuse_qkv=fuse_qkv)
+
+
+def unpack_packed_entries(deploy: Dict[str, Any]) -> Dict[str, Any]:
+    """Unpack halves-packed W4 entries to int8 codes ONCE, outside the
+    sampler loop.
+
+    XLA does not hoist the nibble-unpack out of a ``lax.scan`` sampler
+    loop (measured +2.4 ms/step on SDXL-Turbo — the packed read + int8
+    write every step), so W4 deployments choose among three execution
+    modes:
+
+    * unpack-once (this function, latency-optimal): checkpoint/resident
+      weights stay 4x-packed between calls; during sampling weights are
+      int8 (2x) and steps run at full W8A8 speed;
+    * in-graph unpack (``deploy_linear`` fallback): 4x resident always,
+      +~2.4 ms/step;
+    * pallas wq4 kernel (``deploy_compute='dequant'`` + packed): no
+      unpacked copy ever exists, slowest — for the most memory-tight
+      serving.
+    """
+    import jax.numpy as jnp  # noqa: F811  (kept local for jit purity)
+
+    def unpack(e):
+        if not isinstance(e, DeployEntry) or e.w_packed is None:
+            return e
+        lo = (e.w_packed & 0xF).astype(jnp.int8) - 8
+        hi = (e.w_packed >> 4).astype(jnp.int8) - 8
+        return e.replace(w_int=jnp.concatenate([lo, hi], axis=0),
+                         w_packed=None)
+
+    return {k: unpack(v) for k, v in deploy.items()}
 
 
 def precompute_bos_outputs(deploy: Dict[str, Any], params: Dict[str, Any],

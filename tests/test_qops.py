@@ -421,3 +421,59 @@ def test_gelu_exact_vs_tanh_ctx():
     # close but not identical
     assert float(jnp.max(jnp.abs(y_tanh - y_exact))) < 1e-2
     assert not jnp.allclose(y_tanh, y_exact)
+
+
+def test_w4_packed_int8_compute_matches_unpacked():
+    """Packed-W4 entries under int8 compute unpack in-graph and match the
+    unpacked W4 int8 deploy exactly (reference's quint4x2-storage /
+    int8-math design, quantize_sdxl.py:46-48)."""
+    from mixdq_tpu.models.configs import TINY_SDXL_UNET
+    from mixdq_tpu.models.unet import UNet2DConditionModel
+    from mixdq_tpu.quant import calibrate as cal
+    from mixdq_tpu.quant.core import QuantSpec
+    from mixdq_tpu.quant.deploy import deploy_unet_ctx, deployed_params
+    from mixdq_tpu.quant.state import quantizable_layers, uniform_ctrl
+
+    model = UNet2DConditionModel(TINY_SDXL_UNET)
+    B = 1
+    b0 = (jax.random.normal(jax.random.PRNGKey(3), (B, 16, 16, 4)),
+          jnp.full((B,), 999.0),
+          jax.random.normal(jax.random.PRNGKey(4), (B, 77, 128)),
+          {"text_embeds": jnp.ones((B, 64)), "time_ids": jnp.ones((B, 6))})
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), *b0)
+    names = quantizable_layers(variables["params"])
+    WQ = QuantSpec(sym=True, channel_wise=True, round_mode="nearest", n_bits=4)
+    AQ = QuantSpec(running_stat=True)
+    qparams = cal.calibrate(model, variables, [b0], WQ, AQ)
+    ctrl = uniform_ctrl(names, w_bits=4, a_bits=8)
+    run = jax.jit(lambda v, c, *a: model.apply(v, *a, c))
+
+    ctx_u = deploy_unet_ctx(model, variables, qparams, ctrl, WQ, AQ,
+                            bos_aware=False, fuse_qkv=True)
+    out_u = run(deployed_params(variables, ctx_u), ctx_u, *b0)
+
+    ctx_p = deploy_unet_ctx(model, variables, qparams, ctrl, WQ, AQ,
+                            bos_aware=False, fuse_qkv=True, pack_w4=True)
+    assert any(e.w_packed is not None for e in ctx_p.deploy.values())
+    fused_packed = [n for n, e in ctx_p.deploy.items()
+                    if n.endswith((".to_qkv", ".to_kv"))
+                    and e.w_packed is not None]
+    assert fused_packed, "fused entries should pack under W4"
+    out_p = run(deployed_params(variables, ctx_p), ctx_p, *b0)
+    np.testing.assert_allclose(np.asarray(out_u), np.asarray(out_p),
+                               atol=2e-4)
+
+
+def test_unpack_packed_entries_roundtrip():
+    from mixdq_tpu.ops.pallas_wq_matmul import pack_w4_halves
+    from mixdq_tpu.quant.deploy import DeployEntry, unpack_packed_entries
+
+    rng = np.random.RandomState(0)
+    w = rng.randint(-8, 8, (16, 8)).astype(np.int8)
+    e = DeployEntry(kind="linear", w_packed=pack_w4_halves(jnp.asarray(w)),
+                    scale=jnp.ones(8), bias0=jnp.zeros(8),
+                    scale_inv=jnp.float32(1.0), zp_shifted=jnp.float32(0.0))
+    out = unpack_packed_entries({"a": e, "b": DeployEntry(kind="fused_away")})
+    np.testing.assert_array_equal(np.asarray(out["a"].w_int), w)
+    assert out["a"].w_packed is None
+    assert out["b"].kind == "fused_away"
