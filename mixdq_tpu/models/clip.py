@@ -57,7 +57,11 @@ class CLIPEncoderLayer(nn.Module):
     @nn.compact
     def __call__(self, x, causal_mask):
         c = self.cfg
-        act = quick_gelu if c.hidden_act == "quick_gelu" else nn.gelu
+        # HF 'gelu' is the exact erf gelu (flax nn.gelu defaults to the
+        # tanh approximation — a real numerics divergence on the SDXL
+        # bigG tower, caught by tests/test_torch_parity.py)
+        act = (quick_gelu if c.hidden_act == "quick_gelu"
+               else lambda x: nn.gelu(x, approximate=False))
         h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="layer_norm1")(x)
         x = x + CLIPAttention(c, dtype=self.dtype, name="self_attn")(h, causal_mask)
         h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="layer_norm2")(x)
