@@ -121,8 +121,8 @@ def main():
     # environment migrates between hosts with very different perf
     # characteristics, so sequential per-mode measurement is unfair.
     variants = {}
-    if backend in ("int8", "int8_fq", "int8_fq_tf", "fused_int8", "dequant",
-                   "auto"):
+    if backend in ("int8", "int8_fq", "int8_fq_tf", "int8_fq_sec",
+                   "fused_int8", "dequant", "auto"):
         from mixdq_tpu.quant.deploy import deploy_unet_ctx, deployed_params
         # int8_fq_tf excluded from auto: measured 3x slower in-model (the
         # pallas custom-calls force s32 conv outputs with degenerate
@@ -140,8 +140,11 @@ def main():
             # MXU speed, so conv act-quantize is pure overhead)
             # int8_fq_pc: + stride-1 3x3 convs via the Pallas implicit-
             # GEMM int8 conv kernel (native int8 MXU)
+            # int8_fq_sec: whole-section pallas convs — every conv is a
+            # Pallas int8 implicit-GEMM kernel (stride-2 via s2d, 1x1 as
+            # dots), so no XLA conv remains to be layout-poisoned
             compute = {"int8_fq": "int8", "int8_fq_tf": "int8_tf",
-                       "int8_fq_cd": "int8_cd",
+                       "int8_fq_cd": "int8_cd", "int8_fq_sec": "int8_sec",
                        "int8_fq_pc": "int8_pc"}.get(m, m)
             # dequant mode keeps spatial convs FP (convert fuses into
             # matmuls but not convs; dense = 87% of SDXL weights)

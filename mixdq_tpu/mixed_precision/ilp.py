@@ -90,6 +90,19 @@ def allocate_bits(
     return {l: bits[int(np.argmax(x[i]))] for i, l in enumerate(layers)}
 
 
+def achieved_avg_bits(alloc: Dict[str, int],
+                      size_frac: Dict[str, float]) -> float:
+    """Size-weighted average bit-width actually achieved by an allocation
+    (renormalized over the allocated layers). Surfaced because
+    ``allocate_bits`` widens the tolerance band when the +-0.02 target is
+    infeasible for small groups — a 5.0-bit target can legitimately come
+    back at 4.5; callers must be able to see that."""
+    if not alloc:
+        return 0.0
+    tot = sum(size_frac[l] for l in alloc)
+    return float(sum(size_frac[l] * b for l, b in alloc.items()) / tot)
+
+
 def split_budget(
     global_target: float,
     frac_content: float,

@@ -44,7 +44,8 @@ def _sow_act_stats(mod: nn.Module, name: str, x: jnp.ndarray, suffix: str = ""):
     mod.sow("quant_stats", name + suffix, (mn, mx), reduce_fn=_minmax_reduce)
 
 
-def resolve_compute(compute: str, name: str, spatial_conv: bool = False) -> str:
+def resolve_compute(compute: str, name: str, spatial_conv: bool = False,
+                    is_conv: bool = False) -> str:
     """Map the ctx-level deploy compute strategy to a per-layer one.
 
     ``int8_tf`` (transformer-fused) routes dense layers INSIDE transformer
@@ -74,6 +75,15 @@ def resolve_compute(compute: str, name: str, spatial_conv: bool = False) -> str:
         # to the bf16 pipeline); dense layers and other convs take the
         # XLA int8 path
         return compute if spatial_conv else "int8"
+    if compute == "int8_sec":
+        # whole-section pallas convs: EVERY conv leaves XLA's conv
+        # pipeline — spatial convs (any stride) via the implicit-GEMM
+        # Pallas kernels, 1x1 convs as plain int8 dots over flattened
+        # pixels. With zero XLA conv ops left in the graph, a pallas
+        # custom-call cannot poison conv layout assignment (the
+        # graph-wide failure mode that sank int8_pc/int8_tf —
+        # DESIGN_NOTES). Dense layers keep the XLA int8 dot path.
+        return compute if is_conv else "int8"
     return compute
 
 
@@ -276,7 +286,12 @@ class QConv(nn.Module):
     param_dtype: Any = None  # None => compute dtype (see QDense)
 
     @nn.compact
-    def __call__(self, x, ctx: QuantCtx = QuantCtx(), split: int = 0):
+    def __call__(self, x, ctx: QuantCtx = QuantCtx(), split: int = 0,
+                 extra_bias=None, residual=None):
+        """``extra_bias`` [B, features] (e.g. the resnet time-embedding
+        projection) and ``residual`` [B, P, Q, features] are applied to
+        the output exactly once in every mode — fused into the Pallas
+        kernel epilogue on the int8_sec path, plain adds elsewhere."""
         name = canonical_name(self.path)
         in_features = x.shape[-1]
         kh, kw = self.kernel_size
@@ -291,12 +306,12 @@ class QConv(nn.Module):
               else None)
         if dp is not None:
             spatial = kh * kw > 1
-            y = self._int8_forward(x.astype(self.dtype), dp, split,
-                                   mode=resolve_compute(ctx.deploy_compute,
-                                                        name, spatial))
-            if bias is not None:
-                y = y + bias.astype(self.dtype)
-            return y
+            return self._int8_forward(
+                x.astype(self.dtype), dp, split,
+                mode=resolve_compute(ctx.deploy_compute, name, spatial,
+                                     is_conv=True),
+                bias=None if bias is None else bias.astype(self.dtype),
+                extra_bias=extra_bias, residual=residual)
 
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(),
@@ -336,6 +351,10 @@ class QConv(nn.Module):
 
         if bias is not None:
             y = y + bias.astype(self.dtype)
+        if extra_bias is not None:
+            y = y + extra_bias.astype(self.dtype)[:, None, None, :]
+        if residual is not None:
+            y = y + residual.astype(self.dtype)
         return y
 
     def _conv(self, x, kernel):
@@ -350,14 +369,26 @@ class QConv(nn.Module):
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
 
-    def _int8_forward(self, x, dp, split, mode="int8"):
+    def _int8_forward(self, x, dp, split, mode="int8", bias=None,
+                      extra_bias=None, residual=None):
         """Real-quant conv (dual-conv sum for channel-split layers,
-        nn/Conv2d.py:312-347; bias applied once by the caller).
+        nn/Conv2d.py:312-347). ``bias``/``extra_bias``/``residual`` are
+        applied exactly once — fused into the Pallas epilogue on the
+        section path, plain adds elsewhere.
         ``mode='dequant'``: weight-only — int8 weights dequantized into a
         bf16 conv. ``mode='fused_int8'``: 1x1 convs route through the
         fused act-quantize GEMM kernel (a 1x1 conv IS a matmul over
         flattened pixels; 3x3 convs keep the XLA path)."""
         from ..ops import qops
+
+        def finish(y, done=()):
+            if bias is not None and "bias" not in done:
+                y = y + bias
+            if extra_bias is not None and "extra" not in done:
+                y = y + extra_bias.astype(self.dtype)[:, None, None, :]
+            if residual is not None and "res" not in done:
+                y = y + residual.astype(self.dtype)
+            return y
 
         dequant = mode == "dequant"
         pad = self.padding
@@ -374,7 +405,7 @@ class QConv(nn.Module):
                 x.reshape(B * H * W, C), dp.w_int.reshape(C, -1),
                 dp.scale_inv, dp.zp_shifted, dp.scale, dp.bias0,
                 out_dtype=self.dtype)
-            return y2.reshape(B, H, W, -1)
+            return finish(y2.reshape(B, H, W, -1))
         if dequant:
             # weight-only int8: convert-only kernel feed (fuses into the
             # conv's operand read), per-out-channel scale applied to the
@@ -388,24 +419,51 @@ class QConv(nn.Module):
                 y1 = self._conv(x[..., dp.split:],
                                 dp.part1.w_int.astype(self.dtype))
                 y1 = y1 * (dp.part1.scale * dp.part1.scale_inv).astype(self.dtype)
-                return y0 + y1
+                return finish(y0 + y1)
             y = self._conv(x, dp.w_int.astype(self.dtype))
-            return y * (dp.scale * dp.scale_inv).astype(self.dtype)
+            return finish(y * (dp.scale * dp.scale_inv).astype(self.dtype))
+        on_tpu = jax.default_backend() != "cpu"
         use_pallas = (
             mode == "int8_pc" and self.strides == (1, 1)
             and self.kernel_size == (3, 3) and x.shape[-1] >= 128
-            and jax.default_backend() != "cpu")
+            and on_tpu)
+        sec = mode == "int8_sec"
+        kh, kw = self.kernel_size
+        pallas_ok = ((sec and on_tpu) or use_pallas) and not (
+            sec and kh * kw == 1 and self.strides == (1, 1))
 
-        def conv_int8(codes, e):
-            if use_pallas:
-                from ..ops.pallas_qconv import qconv2d_pallas
+        def conv_1x1_dot(codes, e, b=None):
+            # 1x1 conv IS a matmul — keep it off the conv pipeline
+            # entirely (works on every backend)
+            B, H, W, C = codes.shape
+            y2 = qops.qlinear(codes.reshape(B * H * W, C),
+                              e.w_int.reshape(C, -1), e.scale, e.bias0,
+                              bias=b, out_dtype=self.dtype)
+            return y2.reshape(B, H, W, -1)
 
-                return qconv2d_pallas(codes, e.w_int, e.scale, e.bias0,
-                                      e.zp_shifted, padding=pad,
-                                      out_dtype=self.dtype)
-            return qops.qconv2d(codes, e.w_int, e.scale, e.bias0,
-                                e.zp_shifted, strides=self.strides,
-                                padding=pad, out_dtype=self.dtype)
+        def conv_int8(codes, e, b=None, eb=None, res=None):
+            """Returns (y, done): which of bias/extra/res got fused."""
+            if sec and kh * kw == 1 and self.strides == (1, 1):
+                return conv_1x1_dot(codes, e, b), ("bias",)
+            if pallas_ok:
+                from ..ops.pallas_qconv import (qconv2d_pallas,
+                                                qconv2d_pallas_s2)
+
+                if self.strides == (2, 2):
+                    return (qconv2d_pallas_s2(codes, e.w_int, e.scale,
+                                              e.bias0, e.zp_shifted,
+                                              bias=b, padding=pad,
+                                              out_dtype=self.dtype),
+                            ("bias",))
+                return (qconv2d_pallas(codes, e.w_int, e.scale, e.bias0,
+                                       e.zp_shifted, bias=b, extra_bias=eb,
+                                       residual=res, padding=pad,
+                                       out_dtype=self.dtype),
+                        ("bias", "extra", "res"))
+            return (qops.qconv2d(codes, e.w_int, e.scale, e.bias0,
+                                 e.zp_shifted, bias=b, strides=self.strides,
+                                 padding=pad, out_dtype=self.dtype),
+                    ("bias",))
 
         if dp.kind == "conv_split":
             s = dp.split
@@ -414,9 +472,20 @@ class QConv(nn.Module):
                                           p0.zp_shifted)
             c1 = qops.quantize_per_tensor(x[..., s:], p1.scale_inv,
                                           p1.zp_shifted)
-            return conv_int8(c0, p0) + conv_int8(c1, p1)
+            if pallas_ok and self.strides == (1, 1):
+                # chain the dual-conv sum through the epilogues: part1
+                # absorbs the external residual, part0 absorbs part1
+                y1, _ = conv_int8(c1, p1, res=residual)
+                y0, done = conv_int8(c0, p0, b=bias, eb=extra_bias, res=y1)
+                return finish(y0, done)
+            y0, done0 = conv_int8(c0, p0, b=bias)
+            y1, _ = conv_int8(c1, p1)
+            return finish(y0 + y1, done0)
         codes = qops.quantize_per_tensor(x, dp.scale_inv, dp.zp_shifted)
-        return conv_int8(codes, dp)
+        y, done = conv_int8(codes, dp, b=bias,
+                            eb=extra_bias if pallas_ok else None,
+                            res=residual if pallas_ok else None)
+        return finish(y, done)
 
 
 class QAct(nn.Module):

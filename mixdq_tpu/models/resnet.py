@@ -30,24 +30,25 @@ class ResnetBlock2D(nn.Module):
         h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps,
                          dtype=self.dtype, name="norm1")(x)
         h = nn.silu(h)
-        h = QConv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
-                  name="conv1")(h, ctx)
 
         t = nn.silu(temb)
         t = QDense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(t, ctx)
-        h = h + t[:, None, None, :]
+        # temb rides the conv epilogue (fused in-kernel on the pallas
+        # section path; a plain add elsewhere — same math)
+        h = QConv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                  name="conv1")(h, ctx, extra_bias=t)
 
         h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps,
                          dtype=self.dtype, name="norm2")(h)
         h = nn.silu(h)
-        h = QConv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
-                  name="conv2")(h, ctx)
 
         if self.in_channels != self.out_channels:
             residual = QConv(self.out_channels, (1, 1), padding=0,
                              dtype=self.dtype, name="conv_shortcut")(
                 residual, ctx, split=split)
-        return residual + h
+        # the shortcut add is conv2's fused epilogue residual
+        return QConv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                     name="conv2")(h, ctx, residual=residual)
 
 
 class Downsample2D(nn.Module):

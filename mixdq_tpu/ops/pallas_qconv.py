@@ -56,8 +56,8 @@ def _pick_div(total: int, target: int, unit: int = 1) -> int:
     return best or total
 
 
-def _conv_kernel(x_ref, w_ref, scale_ref, bias0_ref, bias_ref, o_ref, *,
-                 bp, Q, Wp, kh, kw):
+def _conv_kernel(x_ref, w_ref, scale_ref, bias0_ref, bias_ref, ebias_ref,
+                 res_ref, o_ref, *, bp, Q, Wp, kh, kw):
     i = pl.program_id(1)
     row0 = i * bp
     acc = None
@@ -74,11 +74,15 @@ def _conv_kernel(x_ref, w_ref, scale_ref, bias0_ref, bias_ref, o_ref, *,
     out = (acc.astype(jnp.float32) - bias0_ref[0]) * scale_ref[0]
     if bias_ref is not None:
         out = out + bias_ref[0]
+    if ebias_ref is not None:
+        # per-(batch, out-channel) extra bias — the resnet time-embedding
+        # projection added right after conv1 (ResnetBlock2D)
+        out = out + ebias_ref[0]
+    if res_ref is not None:
+        # fused residual/shortcut add (the epilogue XLA loses when the
+        # conv leaves its fusion graph — see DESIGN_NOTES layout notes)
+        out = out + res_ref[0].astype(jnp.float32)
     o_ref[0] = out.astype(o_ref.dtype)
-
-
-def _conv_kernel_nobias(x_ref, w_ref, scale_ref, bias0_ref, o_ref, **kw):
-    _conv_kernel(x_ref, w_ref, scale_ref, bias0_ref, None, o_ref, **kw)
 
 
 @functools.partial(jax.jit, static_argnames=("padding", "out_dtype",
@@ -91,13 +95,16 @@ def qconv2d_pallas(
     bias0: jnp.ndarray,  # [K] f32 = zp_s * sum_{r,s,c} w
     zp_shifted: jnp.ndarray,  # 0-d: pad code representing x = 0
     bias: Optional[jnp.ndarray] = None,  # [K] f32
+    extra_bias: Optional[jnp.ndarray] = None,  # [B, K] f32 (temb proj)
+    residual: Optional[jnp.ndarray] = None,  # [B, P, Q, K] (fused add)
     padding=(1, 1),
     out_dtype=jnp.bfloat16,
     interpret: bool = False,
     bp_target: int = 8,
     bk_target: int = 512,
 ) -> jnp.ndarray:
-    """Stride-1 W8A8 NHWC conv, native int8 MXU math. Output
+    """Stride-1 W8A8 NHWC conv, native int8 MXU math, fused epilogue
+    ``(acc - bias0) * scale + bias + extra_bias[b] + residual``. Output
     [B, P, Q, K] with P = H + 2*ph - kh + 1, Q = W + 2*pw - kw + 1."""
     B, H, W, C = x_int8.shape
     kh, kw, C2, K = w_int8.shape
@@ -119,9 +126,6 @@ def qconv2d_pallas(
     bk = K if K <= bk_target else _pick_div(K, bk_target, 128)
     grid = (B, P // bp, K // bk)
 
-    kern = functools.partial(
-        _conv_kernel_nobias if bias is None else _conv_kernel,
-        bp=bp, Q=Q, Wp=Wp, kh=kh, kw=kw)
     vec = lambda: pl.BlockSpec((1, bk), lambda b, i, k: (0, k),
                                memory_space=pltpu.VMEM)
     in_specs = [
@@ -138,6 +142,28 @@ def qconv2d_pallas(
     if bias is not None:
         in_specs.append(vec())
         args.append(bias.reshape(1, -1).astype(jnp.float32))
+    if extra_bias is not None:
+        in_specs.append(pl.BlockSpec((1, bk), lambda b, i, k: (b, k),
+                                     memory_space=pltpu.VMEM))
+        args.append(extra_bias.astype(jnp.float32))
+    if residual is not None:
+        in_specs.append(pl.BlockSpec((1, bp, Q, bk),
+                                     lambda b, i, k: (b, i, 0, k),
+                                     memory_space=pltpu.VMEM))
+        args.append(residual)
+
+    has_b, has_e, has_r = (bias is not None, extra_bias is not None,
+                           residual is not None)
+
+    def kern(*refs):
+        x_r, w_r, sc_r, b0_r = refs[:4]
+        rest = list(refs[4:-1])
+        o_r = refs[-1]
+        b_r = rest.pop(0) if has_b else None
+        e_r = rest.pop(0) if has_e else None
+        r_r = rest.pop(0) if has_r else None
+        _conv_kernel(x_r, w_r, sc_r, b0_r, b_r, e_r, r_r, o_r,
+                     bp=bp, Q=Q, Wp=Wp, kh=kh, kw=kw)
 
     out = pl.pallas_call(
         kern,
@@ -155,3 +181,63 @@ def qconv2d_pallas(
         interpret=interpret,
     )(*args)
     return out
+
+
+def s2d_weights(w_int8: jnp.ndarray) -> jnp.ndarray:
+    """Rearrange a stride-2 conv's [kh, kw, C, K] weights into the
+    equivalent stride-1 space-to-depth form [ceil(kh/2), ceil(kw/2), 4C, K].
+
+    A stride-2 conv over x equals a stride-1 conv over the 2x2
+    space-to-depth of x: original tap (r, s) maps to phase
+    (2*(r % 2) + (s % 2)) of the depth axis at shifted tap
+    (r // 2, s // 2); phase-taps past the kernel extent stay zero. This
+    keeps the MXU row-slab kernel structure for SDXL's downsamplers with
+    zero extra FLOPs — the TPU answer to the reference's strided CUTLASS
+    conv iterators (csrc/qconv2d/cutlassConv2d_*.cu)."""
+    kh, kw, C, K = w_int8.shape
+    Kh, Kw = (kh + 1) // 2, (kw + 1) // 2
+    w = jnp.zeros((Kh, Kw, 4, C, K), dtype=w_int8.dtype)
+    for r in range(kh):
+        for s in range(kw):
+            w = w.at[r // 2, s // 2, 2 * (r % 2) + (s % 2)].set(w_int8[r, s])
+    return w.reshape(Kh, Kw, 4 * C, K)
+
+
+def space_to_depth_codes(x_p: jnp.ndarray) -> jnp.ndarray:
+    """[B, H, W, C] -> [B, H/2, W/2, 4C], phase-major channel order
+    (phase = 2 * row-parity + col-parity), matching ``s2d_weights``."""
+    B, H, W, C = x_p.shape
+    x = x_p.reshape(B, H // 2, 2, W // 2, 2, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(B, H // 2, W // 2, 4 * C)
+
+
+def qconv2d_pallas_s2(
+    x_int8: jnp.ndarray,  # [B, H, W, C] int8 codes
+    w_int8: jnp.ndarray,  # [kh, kw, C, K] int8 (original layout)
+    scale: jnp.ndarray,
+    bias0: jnp.ndarray,
+    zp_shifted: jnp.ndarray,
+    bias: Optional[jnp.ndarray] = None,
+    padding=(1, 1),
+    out_dtype=jnp.bfloat16,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Stride-2 W8A8 conv as stride-1 over space-to-depth input. Padding
+    uses the zp code BEFORE the depth fold, so every folded position still
+    encodes ``x = 0`` and ``bias0`` stays the uniform per-channel constant
+    (zero phase-weights kill the out-of-extent taps)."""
+    B, H, W, C = x_int8.shape
+    ph, pw = padding
+    pad_val = zp_shifted.astype(jnp.int8)
+    # bottom/right pad to even size for the 2x2 fold; the extra zp rows
+    # only feed outputs the VALID conv never produces or phase taps whose
+    # weights are zero
+    Hp, Wp = _round_up(H + 2 * ph, 2), _round_up(W + 2 * pw, 2)
+    x_p = jax.lax.pad(
+        x_int8, pad_val,
+        ((0, 0, 0), (ph, Hp - H - ph, 0), (pw, Wp - W - pw, 0), (0, 0, 0)))
+    x4 = space_to_depth_codes(x_p)
+    return qconv2d_pallas(
+        x4, s2d_weights(w_int8), scale, bias0, zp_shifted, bias=bias,
+        padding=(0, 0), out_dtype=out_dtype, interpret=interpret)

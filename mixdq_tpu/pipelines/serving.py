@@ -61,6 +61,15 @@ class ServingEngine:
             from ..parallel.mesh import make_param_shardings
 
             params = jax.device_put(params, make_param_shardings(mesh, params))
+            if ctx.deploy:
+                # tp-shard the int8 deploy pytree the same way as params:
+                # w_int [K, N] / conv [kh, kw, C, K] and the per-out-channel
+                # scale/bias0 vectors all shard their last axis over 'tp'
+                # (param_spec's rule); act-quant scalars replicate. Without
+                # this, deployed weights ride into the compiled program
+                # replicated on every chip.
+                self.ctx = ctx = ctx.replace(deploy=jax.device_put(
+                    ctx.deploy, make_param_shardings(mesh, ctx.deploy)))
         self.params = params
 
         if f.is_sdxl:

@@ -9,6 +9,14 @@ set -euo pipefail
 CONFIG=${1:-configs/tiny.yaml}
 OUTDIR=${2:-outputs/flow}
 
+# CI-style gate: `./run_flow.sh test` runs the fast test tier (<2-3 min;
+# pure math/kernel/unit tests). Full suite (`pytest tests/`) adds the
+# model-building e2e tests (~10 min on a fast box, 60+ on a degraded
+# host) — run it before release, the fast tier on every change.
+if [[ "${1:-}" == "test" ]]; then
+    exec python -m pytest tests/ -m "not slow" -q
+fi
+
 echo "== 1/4 calibration data =="
 python scripts/gen_calib_data.py --config "$CONFIG"
 

@@ -120,15 +120,22 @@ def main():
     winner, idx, mses = election.elect(
         pipe, params, qparams, names, candidates, args.which, prompts, key,
         wq, aq, num_steps=cfg.inference.get("num_steps"))
-    print(f"elected candidate {idx} (mse={mses[idx]:.6f})")
+    achieved = ilp.achieved_avg_bits(winner, size_frac)
+    print(f"elected candidate {idx} (mse={mses[idx]:.6f}); "
+          f"achieved avg bits {achieved:.3f} (target {args.target_bits})")
 
     out_path = os.path.join(args.base_path, f"{args.which}_mp_config.yaml")
     with open(out_path, "w") as f:
+        f.write(f"# target_avg_bits: {args.target_bits}  "
+                f"achieved_avg_bits: {achieved:.3f}\n")
         yaml.safe_dump({k: int(v) for k, v in winner.items()}, f)
     sens_path = os.path.join(args.base_path,
                              f"sensitivity_{args.which}.yaml")
     with open(sens_path, "w") as f:
-        yaml.safe_dump({"content": {k: [float(x) for x in v]
+        yaml.safe_dump({"meta": {"target_avg_bits": float(args.target_bits),
+                                 "achieved_avg_bits": achieved,
+                                 "elected_mse": float(mses[idx])},
+                        "content": {k: [float(x) for x in v]
                                     for k, v in sens_c.items()},
                         "quality": {k: [float(x) for x in v]
                                     for k, v in sens_q.items()}}, f)

@@ -62,7 +62,7 @@ def build_runner(mode: str, family_name: str, B: int, inner: int):
                                 wq, aq)
         ctrl = uniform_ctrl(names, w_bits=8, a_bits=8)
         compute = {"int8_fq": "int8", "int8_fq_tf": "int8_tf",
-                   "int8_fq_cd": "int8_cd",
+                   "int8_fq_cd": "int8_cd", "int8_fq_sec": "int8_sec",
                    "int8_fq_pc": "int8_pc"}.get(mode, mode)
         ctx = deploy_unet_ctx(unet, variables, qparams, ctrl, wq, aq,
                               skip_spatial_convs=(mode == "dequant"),
@@ -125,7 +125,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", default="int8_fq",
                     choices=["bf16", "int8", "int8_fq", "int8_fq_tf",
-                             "int8_fq_cd", "int8_fq_pc", "dequant"])
+                             "int8_fq_cd", "int8_fq_pc", "int8_fq_sec",
+                             "dequant"])
     ap.add_argument("--family", default="sdxl-turbo")
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--inner", type=int, default=8)

@@ -13,6 +13,8 @@ from mixdq_tpu.quant.state import (QuantCtx, apply_bitwidth_config,
                                    quantizable_layers, uniform_ctrl)
 from mixdq_tpu.utils.metrics import sqnr
 
+pytestmark = pytest.mark.slow  # builds models / runs e2e (minutes on CPU)
+
 WQ = QuantSpec(sym=True, channel_wise=True, round_mode="nearest")
 AQ = QuantSpec(sym=False, channel_wise=False, round_mode="nearest_ste",
                running_stat=True)

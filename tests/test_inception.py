@@ -7,8 +7,10 @@ import numpy as np
 
 from mixdq_tpu.models.inception import BasicConv2d, InceptionV3Features
 from mixdq_tpu.utils import torch_convert
+import pytest  # noqa: E402
 
 
+@pytest.mark.slow
 def test_inception_forward_shape():
     model = InceptionV3Features()
     img = jnp.ones((1, 64, 64, 3), jnp.float32) * 0.5

@@ -6,6 +6,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from mixdq_tpu.mixed_precision import ilp, sensitivity
+import pytest  # noqa: E402
 
 
 def test_split_metric_groups():
@@ -38,6 +39,16 @@ def test_allocate_bits_respects_budget():
     assert np.mean(hi) >= np.mean(lo)
 
 
+def test_achieved_avg_bits():
+    alloc = {"a": 8, "b": 4, "c": 2}
+    frac = {"a": 0.5, "b": 0.25, "c": 0.25}
+    assert abs(ilp.achieved_avg_bits(alloc, frac) - 5.5) < 1e-9
+    # renormalizes over the allocated subset only
+    frac2 = {"a": 0.25, "b": 0.125, "c": 0.125, "other": 0.5}
+    assert abs(ilp.achieved_avg_bits(alloc, frac2) - 5.5) < 1e-9
+    assert ilp.achieved_avg_bits({}, frac) == 0.0
+
+
 def test_allocate_bits_uniform8_feasible():
     layers = ["a", "b"]
     sens = {l: [0.0, 1.0, 2.0] for l in layers}
@@ -61,6 +72,7 @@ def test_metric_decoupled_allocation_produces_candidates():
             assert cand[l] in (4, 8)
 
 
+@pytest.mark.slow
 def test_sweep_sqnr_tiny_model():
     from mixdq_tpu.models.configs import TINY_SDXL_UNET
     from mixdq_tpu.models.unet import UNet2DConditionModel
@@ -89,6 +101,7 @@ def test_sweep_sqnr_tiny_model():
         assert s8 >= s2, f"{name}: 8-bit SQNR {s8} < 2-bit {s2}"
 
 
+@pytest.mark.slow
 def test_sweep_sqnr_batched_matches_sequential():
     from mixdq_tpu.models.configs import TINY_SDXL_UNET
     from mixdq_tpu.models.unet import UNet2DConditionModel

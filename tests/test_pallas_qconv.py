@@ -9,7 +9,7 @@ import numpy as np
 import pytest
 
 from mixdq_tpu.ops import qops
-from mixdq_tpu.ops.pallas_qconv import qconv2d_pallas
+from mixdq_tpu.ops.pallas_qconv import qconv2d_pallas, qconv2d_pallas_s2
 
 
 @pytest.mark.parametrize(
@@ -45,6 +45,65 @@ def test_pallas_qconv_matches_xla_int8(B, H, W, C, K, pad, bias_on):
                                rtol=1e-3, atol=1e-2)
 
 
+@pytest.mark.parametrize(
+    "B,H,W,C,K,pad,bias_on",
+    [
+        (1, 16, 16, 16, 32, 1, True),   # SDXL downsampler shape class
+        (1, 12, 12, 8, 16, 1, False),   # H+2p odd fold path
+        (2, 8, 8, 16, 16, 0, True),     # no padding
+    ],
+)
+def test_pallas_qconv_s2_matches_xla_int8(B, H, W, C, K, pad, bias_on):
+    """Stride-2 via space-to-depth == the strided XLA int8 conv oracle."""
+    rng = np.random.RandomState(7)
+    codes = rng.randint(-128, 128, (B, H, W, C)).astype(np.int8)
+    w = rng.randint(-128, 128, (3, 3, C, K)).astype(np.int8)
+    scale = (rng.rand(K).astype(np.float32) + 0.5) * 0.01
+    zp_s = np.float32(7.0)
+    bias0 = zp_s * w.astype(np.int64).sum((0, 1, 2)).astype(np.float32)
+    bias = rng.randn(K).astype(np.float32) if bias_on else None
+
+    want = qops.qconv2d(
+        jnp.asarray(codes), jnp.asarray(w), jnp.asarray(scale),
+        jnp.asarray(bias0), jnp.asarray(zp_s),
+        None if bias is None else jnp.asarray(bias),
+        strides=(2, 2), padding=(pad, pad), out_dtype=jnp.float32)
+    got = qconv2d_pallas_s2(
+        jnp.asarray(codes), jnp.asarray(w), jnp.asarray(scale),
+        jnp.asarray(bias0), jnp.asarray(zp_s),
+        None if bias is None else jnp.asarray(bias),
+        padding=(pad, pad), out_dtype=jnp.float32, interpret=True)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-3, atol=1e-2)
+
+
+def test_pallas_qconv_fused_epilogue_extra_bias_residual():
+    """extra_bias [B,K] (temb) and residual add fuse into the epilogue."""
+    rng = np.random.RandomState(3)
+    B, H, W, C, K = 2, 8, 8, 16, 16
+    codes = rng.randint(-128, 128, (B, H, W, C)).astype(np.int8)
+    w = rng.randint(-128, 128, (3, 3, C, K)).astype(np.int8)
+    scale = (rng.rand(K).astype(np.float32) + 0.5) * 0.01
+    zp_s = np.float32(-3.0)
+    bias0 = zp_s * w.astype(np.int64).sum((0, 1, 2)).astype(np.float32)
+    bias = rng.randn(K).astype(np.float32)
+    ebias = rng.randn(B, K).astype(np.float32)
+    res = rng.randn(B, H, W, K).astype(np.float32)
+
+    base = qops.qconv2d(
+        jnp.asarray(codes), jnp.asarray(w), jnp.asarray(scale),
+        jnp.asarray(bias0), jnp.asarray(zp_s), jnp.asarray(bias),
+        strides=(1, 1), padding=(1, 1), out_dtype=jnp.float32)
+    want = np.asarray(base) + ebias[:, None, None, :] + res
+    got = qconv2d_pallas(
+        jnp.asarray(codes), jnp.asarray(w), jnp.asarray(scale),
+        jnp.asarray(bias0), jnp.asarray(zp_s), jnp.asarray(bias),
+        extra_bias=jnp.asarray(ebias), residual=jnp.asarray(res),
+        padding=(1, 1), out_dtype=jnp.float32, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-3, atol=1e-2)
+
+
 def test_pallas_qconv_zp_padding_semantics():
     """Padded positions represent x=0 exactly (zp-code padding): the
     pallas conv of a zp-constant image equals bias over the interior."""
@@ -64,6 +123,7 @@ def test_pallas_qconv_zp_padding_semantics():
                                          out.shape), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_int8_pc_mode_cpu_fallback_matches_int8():
     """On CPU the int8_pc mode falls back to the XLA conv — outputs are
     identical to plain int8 mode (gate check for the deploy plumbing)."""
@@ -94,3 +154,8 @@ def test_int8_pc_mode_cpu_fallback_matches_int8():
     out_pc = run(pruned, ctx.replace(deploy_compute="int8_pc"), *b0)
     np.testing.assert_allclose(np.asarray(out_int8), np.asarray(out_pc),
                                atol=1e-5)
+    # int8_sec on CPU: 1x1 convs route as dots, spatial convs fall back
+    # to the XLA conv — numerics match plain int8 (same integer math)
+    out_sec = run(pruned, ctx.replace(deploy_compute="int8_sec"), *b0)
+    np.testing.assert_allclose(np.asarray(out_int8), np.asarray(out_sec),
+                               atol=1e-4, rtol=1e-4)

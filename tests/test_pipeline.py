@@ -45,6 +45,7 @@ def test_lcm_schedule():
 
 
 @pytest.mark.parametrize("family,steps", [("tiny-sdxl", 1), ("tiny-sd15", 4)])
+@pytest.mark.slow
 def test_tiny_end_to_end(family, steps):
     pipe = Text2ImgPipeline(family)
     params = pipe.init_params(jax.random.PRNGKey(0))
@@ -55,6 +56,7 @@ def test_tiny_end_to_end(family, steps):
     assert out.images.min() >= 0.0 and out.images.max() <= 1.0
 
 
+@pytest.mark.slow
 def test_trajectory_capture_shapes():
     pipe = Text2ImgPipeline("tiny-sdxl")
     params = pipe.init_params(jax.random.PRNGKey(0))
@@ -66,6 +68,7 @@ def test_trajectory_capture_shapes():
     assert out.text_emb.shape[0] == 2
 
 
+@pytest.mark.slow
 def test_cfg_guidance_runs():
     pipe = Text2ImgPipeline("tiny-sdxl")
     params = pipe.init_params(jax.random.PRNGKey(0))
@@ -75,6 +78,7 @@ def test_cfg_guidance_runs():
     assert np.isfinite(np.asarray(out.latents)).all()
 
 
+@pytest.mark.slow
 def test_tiny_end_to_end_bf16():
     """bf16 pipeline (production dtype) — guards scan-carry dtype
     stability and bf16 numerics through the whole stack."""

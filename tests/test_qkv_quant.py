@@ -9,6 +9,9 @@ from mixdq_tpu.quant import calibrate as cal
 from mixdq_tpu.quant.core import QuantSpec
 from mixdq_tpu.quant.state import QuantCtx, uniform_ctrl
 from mixdq_tpu.utils.metrics import sqnr
+import pytest  # noqa: E402
+
+pytestmark = pytest.mark.slow  # builds models / runs e2e (minutes on CPU)
 
 WQ = QuantSpec(sym=True, channel_wise=True, round_mode="nearest")
 AQ = QuantSpec(running_stat=True)

@@ -76,6 +76,7 @@ def test_qconv2d_matches_dequant_reference(pad, stride):
                                rtol=1e-3, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_int8_deploy_end_to_end_matches_fake_quant():
     """Tiny UNet: int8 deploy path ~= fake-quant W8A8 simulation, and the
     deployed params tree has no fp kernels for quantized layers."""
@@ -118,6 +119,7 @@ def test_int8_deploy_end_to_end_matches_fake_quant():
     assert s > 25.0, f"int8 deploy vs fake-quant SQNR too low: {s}"
 
 
+@pytest.mark.slow
 def test_int8_deploy_split_conv_present():
     from mixdq_tpu.models.configs import TINY_SDXL_UNET
     from mixdq_tpu.models.unet import UNet2DConditionModel, conv_shortcut_splits
@@ -146,6 +148,7 @@ def test_int8_deploy_split_conv_present():
         assert deploy[name].part0.w_int.shape[2] == splits[name]
 
 
+@pytest.mark.slow
 def test_dequant_mode_matches_weight_only_fake_quant():
     """'dequant' deploy compute == fake-quant with acts disabled."""
     from mixdq_tpu.models.configs import TINY_SDXL_UNET
@@ -203,6 +206,7 @@ def test_w4_deploy_uses_int4_storage():
     assert out.shape == (2, 8)
 
 
+@pytest.mark.slow
 def test_w4_packed_deploy_end_to_end():
     """W4A8 with halves-packed weights matches W4 weight-only fake quant."""
     from mixdq_tpu.models.configs import TINY_SDXL_UNET
@@ -245,6 +249,7 @@ def test_w4_packed_deploy_end_to_end():
     assert s > 12.0, f"W4-packed vs W4 fake SQNR too low: {s}"
 
 
+@pytest.mark.slow
 def test_bos_precompute_matches_fp_first_token():
     from mixdq_tpu.models.configs import TINY_SDXL_UNET
     from mixdq_tpu.models.unet import UNet2DConditionModel
@@ -289,6 +294,7 @@ def test_bos_precompute_matches_fp_first_token():
     assert s > 20.0, f"BoS precompute vs fallback SQNR: {s}"
 
 
+@pytest.mark.slow
 def test_fused_qkv_deploy_matches_unfused():
     """fuse_qkv int8 deploy == per-layer int8 deploy (the act scales of
     to_q/to_k/to_v come from the same tensor's statistics, so the shared-
@@ -333,6 +339,7 @@ def test_fused_qkv_deploy_matches_unfused():
     assert s > 40.0, f"fused vs unfused int8 SQNR too low: {s}"
 
 
+@pytest.mark.slow
 def test_fused_qkv_bos_aware_cross_attention():
     """BoS protection survives the fused KV path (precompute + fallback)."""
     from mixdq_tpu.models.configs import TINY_SDXL_UNET
@@ -373,6 +380,7 @@ def test_fused_qkv_bos_aware_cross_attention():
     assert s > 20.0, f"fused-KV BoS precompute vs fallback SQNR: {s}"
 
 
+@pytest.mark.slow
 def test_int8_cd_conv_dequant_hybrid():
     """int8_cd: spatial convs weight-only, dense fully int8 — output sits
     between full int8 and weight-only, close to both."""

@@ -11,12 +11,14 @@ from mixdq_tpu.quant import recon
 from mixdq_tpu.quant.core import QuantSpec
 from mixdq_tpu.quant.state import QuantCtx, quantizable_layers, uniform_ctrl
 from mixdq_tpu.utils.metrics import sqnr
+import pytest  # noqa: E402
 
 WQ = QuantSpec(sym=True, channel_wise=True, round_mode="nearest_ste",
                n_bits=4)
 AQ = QuantSpec(running_stat=True)
 
 
+@pytest.mark.slow
 def test_recon_improves_w4_sqnr():
     model = UNet2DConditionModel(TINY_SDXL_UNET)
     B = 2
@@ -57,6 +59,7 @@ def test_adaround_helpers():
     assert float(recon.temp_decay(99, 100)) < 2.2
 
 
+@pytest.mark.slow
 def test_adaround_learns_and_folds():
     """AdaRound alphas receive loss gradients (soft forward), and the
     learned hard rounding folds into deployed int codes."""

@@ -6,6 +6,9 @@ import numpy as np
 from mixdq_tpu.parallel.mesh import make_mesh
 from mixdq_tpu.pipelines.txt2img import Text2ImgPipeline
 from mixdq_tpu.pipelines.serving import ServingEngine
+import pytest  # noqa: E402
+
+pytestmark = pytest.mark.slow  # builds models / runs e2e (minutes on CPU)
 
 
 def test_serving_engine_single():

@@ -11,6 +11,7 @@ from mixdq_tpu.models.configs import TINY_CLIP_2, TINY_SDXL_UNET
 from mixdq_tpu.models.unet import UNet2DConditionModel
 from mixdq_tpu.models.clip import CLIPTextModel
 from mixdq_tpu.utils import torch_convert
+import pytest  # noqa: E402
 
 _FUSED = re.compile(
     r"^(down_blocks|up_blocks|resnets|attentions|transformer_blocks|"
@@ -56,6 +57,7 @@ def trees_equal(a, b, path=""):
                                        err_msg=path + "/" + k)
 
 
+@pytest.mark.slow
 def test_unet_state_dict_roundtrip():
     model = UNet2DConditionModel(TINY_SDXL_UNET)
     B = 1
@@ -69,6 +71,7 @@ def test_unet_state_dict_roundtrip():
     trees_equal(params, back)
 
 
+@pytest.mark.slow
 def test_clip_state_dict_roundtrip():
     model = CLIPTextModel(TINY_CLIP_2)
     variables = jax.jit(model.init)(jax.random.PRNGKey(0),
@@ -147,6 +150,7 @@ def test_fuse_lora_state_dict():
                                rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_clip_vision_state_dict_roundtrip():
     """CLIP image tower: forward sanity + HF-named state-dict conversion."""
     from mixdq_tpu.models.clip import CLIPVisionModel, preprocess_images

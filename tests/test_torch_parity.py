@@ -23,6 +23,8 @@ from mixdq_tpu.models.configs import CLIPTextConfig  # noqa: E402
 from mixdq_tpu.quant.state import FP_CTX, QuantCtx  # noqa: E402
 from mixdq_tpu.utils import torch_convert  # noqa: E402
 
+pytestmark = pytest.mark.slow  # builds models / runs e2e (minutes on CPU)
+
 EXACT_GELU_CTX = QuantCtx(gelu="exact")  # torch F.gelu default is erf
 
 

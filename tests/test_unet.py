@@ -16,6 +16,7 @@ from mixdq_tpu.models.configs import (SDXL_TURBO_UNET, TINY_SD15_UNET,
                                       TINY_SDXL_UNET)
 from mixdq_tpu.models.unet import UNet2DConditionModel, conv_shortcut_splits
 from mixdq_tpu.quant.state import QuantCtx, quantizable_layers
+import pytest  # noqa: E402
 
 FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures_sdxl_turbo_layers.txt")
 
@@ -32,6 +33,7 @@ def tiny_sdxl_inputs(B=1):
     return sample, t, ehs, added
 
 
+@pytest.mark.slow
 def test_tiny_sdxl_forward_shape():
     model = UNet2DConditionModel(TINY_SDXL_UNET)
     sample, t, ehs, added = tiny_sdxl_inputs()
@@ -41,6 +43,7 @@ def test_tiny_sdxl_forward_shape():
     assert not np.isnan(np.asarray(out)).any()
 
 
+@pytest.mark.slow
 def test_tiny_sd15_forward_shape():
     cfg = TINY_SD15_UNET
     model = UNet2DConditionModel(cfg)
@@ -52,6 +55,7 @@ def test_tiny_sd15_forward_shape():
     assert out.shape == sample.shape
 
 
+@pytest.mark.slow
 def test_sdxl_turbo_layer_names_match_reference():
     """Full-size SDXL UNet layer-name space == reference dump (794 layers)."""
     model = UNet2DConditionModel(SDXL_TURBO_UNET)
@@ -84,6 +88,7 @@ def test_conv_shortcut_splits_match_reference_table():
     assert ordered == [1280, 1280, 1280, 1280, 640, 640, 640, 320, 320]
 
 
+@pytest.mark.slow
 def test_stats_collection_sows_minmax():
     model = UNet2DConditionModel(TINY_SDXL_UNET)
     sample, t, ehs, added = tiny_sdxl_inputs()
