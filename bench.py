@@ -121,31 +121,21 @@ def main():
     # environment migrates between hosts with very different perf
     # characteristics, so sequential per-mode measurement is unfair.
     variants = {}
-    if backend in ("int8", "int8_fq", "int8_fq_tf", "int8_fq_sec",
-                   "fused_int8", "dequant", "auto"):
+    if backend in ("int8", "int8_fq", "int8_fq_sec", "dequant", "auto"):
         from mixdq_tpu.quant.deploy import deploy_unet_ctx, deployed_params
-        # int8_fq_tf excluded from auto: measured 3x slower in-model (the
-        # pallas custom-calls force s32 conv outputs with degenerate
-        # T(1,128) layouts on the surrounding resnets; DESIGN_NOTES.md)
-        # auto = the two contenders; the pallas-kernel modes (int8_fq_pc /
-        # int8_fq_tf / int8_cd) lose in-model (DESIGN_NOTES) and stay
-        # explicit-only
-        modes = ([backend] if backend != "auto" else ["int8", "int8_fq"])
+        # auto = the shipped contenders (the losing experimental modes —
+        # fused_int8 / int8_tf / int8_cd / int8_pc — were removed after
+        # in-model benchmarks, DESIGN_NOTES.md)
+        modes = ([backend] if backend != "auto"
+                 else ["int8", "int8_fq", "int8_fq_sec"])
         for m in modes:
             # int8_fq = int8 compute + fused QKV/KV attention projections
-            # (one shared-act-scale GEMM instead of three); int8_fq_tf
-            # additionally fuses act-quantize into Pallas GEMMs inside
-            # transformer blocks (deploy_compute='int8_tf'); int8_fq_cd
-            # keeps spatial convs weight-only (XLA s8 convs run at bf16
-            # MXU speed, so conv act-quantize is pure overhead)
-            # int8_fq_pc: + stride-1 3x3 convs via the Pallas implicit-
-            # GEMM int8 conv kernel (native int8 MXU)
-            # int8_fq_sec: whole-section pallas convs — every conv is a
+            # (one shared-act-scale GEMM instead of three);
+            # int8_fq_sec: + whole-section pallas convs — every conv is a
             # Pallas int8 implicit-GEMM kernel (stride-2 via s2d, 1x1 as
             # dots), so no XLA conv remains to be layout-poisoned
-            compute = {"int8_fq": "int8", "int8_fq_tf": "int8_tf",
-                       "int8_fq_cd": "int8_cd", "int8_fq_sec": "int8_sec",
-                       "int8_fq_pc": "int8_pc"}.get(m, m)
+            compute = {"int8_fq": "int8",
+                       "int8_fq_sec": "int8_sec"}.get(m, m)
             # dequant mode keeps spatial convs FP (convert fuses into
             # matmuls but not convs; dense = 87% of SDXL weights)
             # W4: dense weights ship halves-packed in every mode — the
@@ -162,7 +152,11 @@ def main():
                 # the packed pallas-wq4 route (4x resident end-to-end)
                 from mixdq_tpu.quant.deploy import unpack_packed_entries
                 ctx = ctx.replace(deploy=unpack_packed_entries(ctx.deploy))
-            ctx = ctx.replace(deploy_compute=compute, attn_impl=attn)
+            small_m = int(os.environ.get("MIXDQ_BENCH_SMALLM", "256"))
+            ctx = ctx.replace(deploy_compute=compute, attn_impl=attn,
+                              dequant_small_m=(small_m
+                                               if compute == "int8_sec"
+                                               else 0))
             q_vars = jax.device_put(deployed_params(variables, ctx))
             variants[m] = (q_vars, ctx)
     else:

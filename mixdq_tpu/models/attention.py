@@ -57,19 +57,22 @@ class Attention(nn.Module):
             base = canonical_name(self.path)
             dp_f = ctx.deploy.get(base + (".to_kv" if is_cross else ".to_qkv"))
         if dp_f is not None:
-            from .layers import deploy_linear, fused_min_m, resolve_compute
+            from .layers import deploy_linear, resolve_compute
 
             fused_name = base + (".to_kv" if is_cross else ".to_qkv")
-            y = deploy_linear(kv_input, dp_f,
-                              resolve_compute(ctx.deploy_compute, fused_name),
-                              self.dtype, fused_min_m=fused_min_m(ctx))
+            rc = resolve_compute(ctx.deploy_compute, fused_name)
+            if (rc == "int8" and ctx.dequant_small_m
+                    and dp_f.w_packed is None
+                    and (kv_input.size // kv_input.shape[-1]
+                         <= ctx.dequant_small_m)):
+                rc = "dequant"  # small-M hybrid, see QuantCtx
+            y = deploy_linear(kv_input, dp_f, rc, self.dtype)
             # BoS protection on cross-attn k/v (quant_block.py:585-625):
             # FP (precomputed or dequantized-weight) first-token output.
             # Weight-only 'dequant' compute doesn't quantize acts, so the
             # BoS token needs no protection there (mirrors QDense).
             if (is_cross and ctx.bos_aware and kv_input.ndim >= 3
-                    and ctx.deploy_compute not in ("dequant",
-                                                   "pallas_dequant")):
+                    and rc not in ("dequant", "pallas_dequant")):
                 if dp_f.bos_out is not None:
                     y0 = jnp.broadcast_to(
                         dp_f.bos_out[None].astype(self.dtype),

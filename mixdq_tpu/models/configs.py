@@ -88,11 +88,13 @@ class ModelFamilyConfig:
     default_steps: int = 1
     guidance_scale: float = 0.0
     # measured-best int8 deploy compute strategy on TPU v5e (bench.py):
-    # transformer-heavy SDXL wins with the full int8 MXU path + fused QKV
-    # ('int8'); conv-heavy SD1.5 loses on int8 (0.76x — quantize passes
-    # over large 64x64 spatial activations dominate) and serves best
-    # weight-only ('dequant', 1.06x + 2x weight memory)
-    default_deploy_compute: str = "int8"
+    # 'int8_sec' (whole-section Pallas int8 convs + XLA int8 dense) wins
+    # on both families — 1.25x on transformer-heavy SDXL-Turbo, 1.38x on
+    # conv-heavy SD1.5 (where plain 'int8' LOSES at 0.76x: XLA s8 convs
+    # upconvert to the bf16 MXU pipeline, so the 64x64 spatial
+    # act-quantize passes dominate; the Pallas implicit-GEMM conv path
+    # runs native int8 and keeps its epilogues in-kernel)
+    default_deploy_compute: str = "int8_sec"
 
 
 # --- SDXL / SDXL-Turbo (same UNet arch; Turbo = 1-step distilled) --------
@@ -186,7 +188,6 @@ FAMILIES = {
     "sd15": ModelFamilyConfig(
         name="sd15", unet=SD15_UNET, vae=SD15_VAE,
         text_encoder=_CLIP_L, is_sdxl=False,
-        default_deploy_compute="dequant",
         default_steps=4, guidance_scale=1.0),
     "tiny-sdxl": ModelFamilyConfig(
         name="tiny-sdxl", unet=TINY_SDXL_UNET, vae=TINY_VAE,

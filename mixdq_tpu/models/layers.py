@@ -44,71 +44,47 @@ def _sow_act_stats(mod: nn.Module, name: str, x: jnp.ndarray, suffix: str = ""):
     mod.sow("quant_stats", name + suffix, (mn, mx), reduce_fn=_minmax_reduce)
 
 
+#: Shipped deploy_compute strategies (every one measured >= 'int8' on its
+#: target family; the experimental losers — fused_int8 / int8_tf /
+#: int8_cd / int8_pc — were removed after in-model benchmarks, see
+#: DESIGN_NOTES.md; their kernels survive as library ops + microbenches).
+DEPLOY_COMPUTE_MODES = ("int8", "int8_sec", "dequant", "pallas_dequant")
+
+
 def resolve_compute(compute: str, name: str, spatial_conv: bool = False,
                     is_conv: bool = False) -> str:
-    """Map the ctx-level deploy compute strategy to a per-layer one.
-
-    ``int8_tf`` (transformer-fused) routes dense layers INSIDE transformer
-    blocks through the Pallas act-quantize-fused GEMM and everything else
-    (convs, proj_in/out at the conv-section boundary, time-embedding
-    projections) through the XLA int8 path. The interior is conv-free, so
-    the pallas custom-calls cannot poison XLA's conv layout assignment
-    (the failure mode that made whole-model 'fused_int8' 3x slower,
-    DESIGN_NOTES.md) — while the interior's standalone quantize fusions
-    (measured 2.5-3 ms of an 11 ms SDXL-Turbo int8 step, profile_unet.py)
-    disappear into the GEMMs."""
-    if compute == "int8_tf":
-        return ("fused_int8" if ".transformer_blocks." in name else "int8")
-    if compute == "int8_cd":
-        # conv-dequant hybrid: dense/1x1 layers take the full int8 path,
-        # spatial convs go weight-only. Rationale (profile_unet.py on
-        # v5e): XLA lowers s8 convs by upconverting into the bf16 MXU
-        # pipeline — int8 conv math runs at bf16 speed (~120 TOP/s vs the
-        # native 394), so quantizing conv INPUTS buys nothing and costs
-        # the quantize pass + act quant error; int8-resident conv weights
-        # keep the 2x memory win and the operand convert fuses into the
-        # conv read.
-        return "dequant" if spatial_conv else "int8"
-    if compute == "int8_pc":
-        # pallas-conv mode: stride-1 3x3 convs use the implicit-GEMM
-        # int8 Pallas kernel (native int8 MXU — XLA's s8 convs upconvert
-        # to the bf16 pipeline); dense layers and other convs take the
-        # XLA int8 path
-        return compute if spatial_conv else "int8"
+    """Map the ctx-level deploy compute strategy to a per-layer one."""
+    if compute not in DEPLOY_COMPUTE_MODES:
+        raise ValueError(
+            f"unknown deploy_compute {compute!r}; shipped modes: "
+            f"{DEPLOY_COMPUTE_MODES}")
     if compute == "int8_sec":
         # whole-section pallas convs: EVERY conv leaves XLA's conv
         # pipeline — spatial convs (any stride) via the implicit-GEMM
         # Pallas kernels, 1x1 convs as plain int8 dots over flattened
         # pixels. With zero XLA conv ops left in the graph, a pallas
         # custom-call cannot poison conv layout assignment (the
-        # graph-wide failure mode that sank int8_pc/int8_tf —
-        # DESIGN_NOTES). Dense layers keep the XLA int8 dot path.
+        # graph-wide failure mode that sank the removed int8_pc/int8_tf
+        # modes — DESIGN_NOTES). Dense layers keep the XLA int8 dot path.
         return compute if is_conv else "int8"
     return compute
 
 
-def fused_min_m(ctx) -> int:
-    # int8_tf targets the small-spatial transformer levels (M=256 at 16x16
-    # is where 60 of SDXL's 70 blocks live); plain fused_int8 keeps the
-    # conservative gate
-    return 256 if ctx.deploy_compute == "int8_tf" else 1024
-
-
-def deploy_linear(x, dp, compute: str, dtype, fused_min_m: int = 1024):
+def deploy_linear(x, dp, compute: str, dtype):
     """Real-quant matmul for one deploy entry (no bias, no BoS handling —
     callers layer those on top). Shared by ``QDense`` and the fused
     QKV/KV projection path in ``models/attention.py``.
 
     ``compute`` strategies (see ``QuantCtx.deploy_compute``):
     int8 (integer MXU + fused epilogue), dequant / pallas_dequant
-    (weight-only), fused_int8 (act-quantize fused into the Pallas GEMM).
-    Packed-W4 entries always use the Pallas nibble-unpack kernel.
+    (weight-only). Packed-W4 entries under the dequant family use the
+    Pallas nibble-unpack kernel.
     """
     from ..ops import qops
 
     x = x.astype(dtype)
     lead = x.shape[:-1]
-    if dp.w_packed is not None and compute in ("int8", "fused_int8"):
+    if dp.w_packed is not None and compute == "int8":
         # W4 with int8 MXU math: unpack the halves-packed nibbles to int8
         # codes with XLA ops (the reference's quint4x2-storage/int8-compute
         # design, quantize_sdxl.py:46-48). Under the sampler scan XLA
@@ -153,21 +129,6 @@ def deploy_linear(x, dp, compute: str, dtype, fused_min_m: int = 1024):
             return y2.reshape(*lead, y2.shape[-1])
         y = jnp.dot(x, dp.w_int.astype(dtype))
         return y * w_delta.astype(dtype)
-    M_total = x.size // x.shape[-1]
-    if (compute == "fused_int8" and M_total >= fused_min_m
-            and jax.default_backend() != "cpu"):
-        # act-quantize fused into the GEMM (saves the per-layer
-        # clamp/convert HBM round-trip): v2 kernel quantizes once per
-        # M-tile into VMEM scratch. Hybrid: only where M is large enough
-        # to pipeline — at small M the pallas call is DMA-latency-bound
-        # (grid of 1-2 steps, no overlap) and XLA's fused dot wins;
-        # small-M layers also contribute negligible quantize traffic
-        from ..ops.pallas_qmatmul import qmatmul_fused2
-
-        y2 = qmatmul_fused2(x.reshape(-1, x.shape[-1]), dp.w_int,
-                            dp.scale_inv, dp.zp_shifted, dp.scale,
-                            dp.bias0, out_dtype=dtype)
-        return y2.reshape(*lead, y2.shape[-1])
     codes = qops.quantize_per_tensor(x, dp.scale_inv, dp.zp_shifted)
     return qops.qlinear(codes, dp.w_int, dp.scale, dp.bias0,
                         out_dtype=dtype)
@@ -213,14 +174,15 @@ class QDense(nn.Module):
                     "path (ctx.fuse_qkv)")
             x = x.astype(self.dtype)
             rc = resolve_compute(ctx.deploy_compute, name)
-            y = deploy_linear(x, dp, rc, self.dtype,
-                              fused_min_m=fused_min_m(ctx))
+            if (rc == "int8" and ctx.dequant_small_m and dp.w_packed is None
+                    and x.size // x.shape[-1] <= ctx.dequant_small_m):
+                rc = "dequant"  # small-M hybrid, see QuantCtx
+            y = deploy_linear(x, dp, rc, self.dtype)
             # weight-only routes (dequant family; packed-W4 via the wq4
             # kernel) don't quantize acts, so the BoS token needs no
             # protection there. Packed entries under int8 compute unpack
             # in-graph and continue to the BoS path below.
-            if ((dp.w_packed is not None
-                 and rc not in ("int8", "fused_int8"))
+            if ((dp.w_packed is not None and rc != "int8")
                     or rc in ("dequant", "pallas_dequant")):
                 if bias is not None:
                     y = y + bias.astype(self.dtype)
@@ -306,10 +268,19 @@ class QConv(nn.Module):
               else None)
         if dp is not None:
             spatial = kh * kw > 1
+            mode = resolve_compute(ctx.deploy_compute, name, spatial,
+                                   is_conv=True)
+            # small-M hybrid (see QuantCtx.dequant_small_m): 1x1 convs
+            # are GEMMs over B*H*W pixels — below the threshold the
+            # act-quantize op costs more than int8 math saves. Spatial
+            # convs keep the int8 Pallas path (their quantize amortizes
+            # over kh*kw reuse and the kernels need s8 input).
+            if (mode in ("int8", "int8_sec") and not spatial
+                    and self.strides == (1, 1) and ctx.dequant_small_m
+                    and x.size // x.shape[-1] <= ctx.dequant_small_m):
+                mode = "dequant"
             return self._int8_forward(
-                x.astype(self.dtype), dp, split,
-                mode=resolve_compute(ctx.deploy_compute, name, spatial,
-                                     is_conv=True),
+                x.astype(self.dtype), dp, split, mode=mode,
                 bias=None if bias is None else bias.astype(self.dtype),
                 extra_bias=extra_bias, residual=residual)
 
@@ -376,9 +347,7 @@ class QConv(nn.Module):
         applied exactly once — fused into the Pallas epilogue on the
         section path, plain adds elsewhere.
         ``mode='dequant'``: weight-only — int8 weights dequantized into a
-        bf16 conv. ``mode='fused_int8'``: 1x1 convs route through the
-        fused act-quantize GEMM kernel (a 1x1 conv IS a matmul over
-        flattened pixels; 3x3 convs keep the XLA path)."""
+        bf16 conv."""
         from ..ops import qops
 
         def finish(y, done=()):
@@ -394,18 +363,6 @@ class QConv(nn.Module):
         pad = self.padding
         if isinstance(pad, int):
             pad = (pad, pad)
-        if (mode == "fused_int8" and dp.kind == "conv"
-                and dp.w_int is not None and dp.w_int.shape[0] == 1
-                and dp.w_int.shape[1] == 1 and self.strides == (1, 1)
-                and jax.default_backend() != "cpu"):
-            from ..ops.pallas_qmatmul import qmatmul_fused2
-
-            B, H, W, C = x.shape
-            y2 = qmatmul_fused2(
-                x.reshape(B * H * W, C), dp.w_int.reshape(C, -1),
-                dp.scale_inv, dp.zp_shifted, dp.scale, dp.bias0,
-                out_dtype=self.dtype)
-            return finish(y2.reshape(B, H, W, -1))
         if dequant:
             # weight-only int8: convert-only kernel feed (fuses into the
             # conv's operand read), per-out-channel scale applied to the
@@ -423,14 +380,10 @@ class QConv(nn.Module):
             y = self._conv(x, dp.w_int.astype(self.dtype))
             return finish(y * (dp.scale * dp.scale_inv).astype(self.dtype))
         on_tpu = jax.default_backend() != "cpu"
-        use_pallas = (
-            mode == "int8_pc" and self.strides == (1, 1)
-            and self.kernel_size == (3, 3) and x.shape[-1] >= 128
-            and on_tpu)
         sec = mode == "int8_sec"
         kh, kw = self.kernel_size
-        pallas_ok = ((sec and on_tpu) or use_pallas) and not (
-            sec and kh * kw == 1 and self.strides == (1, 1))
+        pallas_ok = (sec and on_tpu) and not (
+            kh * kw == 1 and self.strides == (1, 1))
 
         def conv_1x1_dot(codes, e, b=None):
             # 1x1 conv IS a matmul — keep it off the conv pipeline

@@ -262,6 +262,17 @@ class QuantCtx:
     # weights dequantized on the fly into the matmul (memory-bound win on
     # hardware where bf16 MXU outruns int8 math)
     deploy_compute: str = struct.field(pytree_node=False, default="int8")
+    # Small-M hybrid (trace-time, shape-driven): dense/1x1 layers whose
+    # GEMM M (= batch x tokens or batch x pixels) is <= this threshold
+    # run weight-only ('dequant') instead of full int8. Rationale
+    # (profile_unet.py on v5e, B=1): at M<=256 the standalone
+    # act-quantize fusions are op-LATENCY-bound (~3.5 us each, 417 of
+    # them = 1.5 ms/step) while the int8 GEMM saves nothing over a
+    # bf16 GEMM reading the same int8-resident weights — the MXU is
+    # M-underutilized and weight traffic (already int8) dominates.
+    # 0 disables. Shapes are static under jit, so the switch costs no
+    # recompiles and adapts to batch size automatically.
+    dequant_small_m: int = struct.field(pytree_node=False, default=0)
     wq: QuantSpec = struct.field(pytree_node=False, default=_WQ_DEFAULT)
     aq: QuantSpec = struct.field(pytree_node=False, default=_AQ_DEFAULT)
     softmax_aq: Optional[QuantSpec] = struct.field(pytree_node=False, default=None)

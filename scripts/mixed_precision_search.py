@@ -43,6 +43,18 @@ def main():
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--quick", action="store_true",
                     help="limit sweep to 8 layers/group (smoke test)")
+    ap.add_argument("--batched", type=int, default=8, metavar="CHUNK",
+                    help="vmap chunk for the SQNR sweep (0 = sequential)")
+    ap.add_argument("--protect_frac", type=float, default=0.0,
+                    help="for --which act: fraction of most-sensitive "
+                    "layers kept FP and written to act_protect.yaml "
+                    "(the reference ships a hand-picked "
+                    "act_sensitivie_a8_1%% list, "
+                    "integer_programming.py:292-313; here it is derived "
+                    "from the measured sensitivities)")
+    ap.add_argument("--artifacts_dir", default=None,
+                    help="also mirror outputs reference-style under DIR/"
+                    "final_config/{which}/<achieved>.yaml + sensitivity/")
     args = ap.parse_args()
 
     cfg = load_config(os.path.join(args.base_path, "config.yaml"))
@@ -94,9 +106,15 @@ def main():
     fp_out = jnp.asarray(data["outputs"][0, :cb])
     variables = {"params": params["unet"]}
     bits_q = (4, 8)
-    sens_q = sensitivity.sweep_sqnr(
-        pipe.unet, variables, qparams, quality, names, calib_batch, fp_out,
-        wq, aq, which=args.which, bits=bits_q)
+    if args.batched:
+        sens_q = sensitivity.sweep_sqnr_batched(
+            pipe.unet, variables, qparams, quality, names, calib_batch,
+            fp_out, wq, aq, which=args.which, bits=bits_q,
+            chunk=args.batched)
+    else:
+        sens_q = sensitivity.sweep_sqnr(
+            pipe.unet, variables, qparams, quality, names, calib_batch,
+            fp_out, wq, aq, which=args.which, bits=bits_q)
 
     # phase 2b: SSIM over content layers (image generation)
     prompts = load_prompts(None, args.n_prompts)
@@ -106,6 +124,25 @@ def main():
         pipe, params, qparams, content, names, prompts, key, wq, aq,
         which=args.which, bits=bits_c,
         num_steps=cfg.inference.get("num_steps"))
+
+    # act-protect election: the most-sensitive act layers stay FP
+    # (reference hard-codes 5 SSIM + 5 SQNR layers and ships
+    # act_sensitivie_a8_1%.pt; here the list is derived from the measured
+    # sweeps: worst score at the largest candidate bit, per metric group)
+    protected = []
+    if args.protect_frac > 0 and args.which == "act":
+        import math
+        k_c = math.ceil(args.protect_frac * len(sens_c))
+        k_q = math.ceil(args.protect_frac * len(sens_q))
+        worst_c = sorted(sens_c, key=lambda n: sens_c[n][-1])[:k_c]
+        worst_q = sorted(sens_q, key=lambda n: sens_q[n][-1])[:k_q]
+        protected = sorted(worst_c + worst_q)
+        sens_c = {n: v for n, v in sens_c.items() if n not in protected}
+        sens_q = {n: v for n, v in sens_q.items() if n not in protected}
+        prot_path = os.path.join(args.base_path, "act_protect.yaml")
+        with open(prot_path, "w") as f:
+            yaml.safe_dump(protected, f)
+        print(f"protecting {len(protected)} act layers (FP): {prot_path}")
 
     # phase 3: ILP candidates over the k grid
     candidates = ilp.metric_decoupled_allocation(
@@ -140,6 +177,23 @@ def main():
                         "quality": {k: [float(x) for x in v]
                                     for k, v in sens_q.items()}}, f)
     print(f"wrote {out_path} and {sens_path}")
+
+    if args.artifacts_dir:
+        # reference-style artifact mirror (mixed_percision_config/
+        # <family>/final_config/{weight,act}/<avg>.yaml + sensitivity logs)
+        import shutil
+        fc = os.path.join(args.artifacts_dir, "final_config", args.which)
+        sl = os.path.join(args.artifacts_dir, "sensitivity_log")
+        os.makedirs(fc, exist_ok=True)
+        os.makedirs(sl, exist_ok=True)
+        shutil.copy(out_path, os.path.join(fc, f"{achieved:.2f}.yaml"))
+        shutil.copy(sens_path,
+                    os.path.join(sl, f"sensitivity_{args.which}.yaml"))
+        if protected:
+            shutil.copy(os.path.join(args.base_path, "act_protect.yaml"),
+                        os.path.join(args.artifacts_dir,
+                                     "act_protect.yaml"))
+        print(f"mirrored artifacts under {args.artifacts_dir}")
 
 
 if __name__ == "__main__":

@@ -61,9 +61,8 @@ def build_runner(mode: str, family_name: str, B: int, inner: int):
         qparams = cal.calibrate(unet, variables, [(sample, t, ehs, added)],
                                 wq, aq)
         ctrl = uniform_ctrl(names, w_bits=8, a_bits=8)
-        compute = {"int8_fq": "int8", "int8_fq_tf": "int8_tf",
-                   "int8_fq_cd": "int8_cd", "int8_fq_sec": "int8_sec",
-                   "int8_fq_pc": "int8_pc"}.get(mode, mode)
+        compute = {"int8_fq": "int8",
+                   "int8_fq_sec": "int8_sec"}.get(mode, mode)
         ctx = deploy_unet_ctx(unet, variables, qparams, ctrl, wq, aq,
                               skip_spatial_convs=(mode == "dequant"),
                               fuse_qkv=mode.startswith("int8_fq"))

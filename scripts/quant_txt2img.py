@@ -109,6 +109,9 @@ def main():
         ctx = deploy_unet_ctx(
             pipe.unet, {"params": params["unet"]}, qparams, ctx.ctrl, wq, aq,
             splits=pipe.splits, bos_aware=bos_aware, fuse_qkv=args.fuse_qkv)
+        # measured-best compute strategy for the family (configs.py)
+        ctx = ctx.replace(
+            deploy_compute=pipe.family.default_deploy_compute)
         if bos_aware:
             # BoS encoder output is prompt-independent (causal attention):
             # precompute per-layer k/v BoS outputs offline

@@ -35,6 +35,10 @@ def main():
     ap.add_argument("--fuse_qkv", action="store_true",
                     help="int8: fuse attention q/k/v projections into one "
                          "shared-act-scale GEMM")
+    ap.add_argument("--deploy_compute", default=None,
+                    help="int8 backend compute strategy (int8 | int8_sec "
+                         "| dequant); default = the family's measured-best "
+                         "(ModelFamilyConfig.default_deploy_compute)")
     ap.add_argument("--batch_size", type=int, default=4)
     ap.add_argument("--steps", type=int, default=None)
     ap.add_argument("--dp", type=int, default=1,
@@ -71,6 +75,9 @@ def main():
                                   qparams, ctx.ctrl, wq, aq,
                                   splits=pipe.splits,
                                   fuse_qkv=args.fuse_qkv)
+            ctx = ctx.replace(
+                deploy_compute=(args.deploy_compute
+                                or pipe.family.default_deploy_compute))
             params = {**params, "unet": prune_deployed_kernels(
                 params["unet"], ctx.deploy)}
 

@@ -380,41 +380,6 @@ def test_fused_qkv_bos_aware_cross_attention():
     assert s > 20.0, f"fused-KV BoS precompute vs fallback SQNR: {s}"
 
 
-@pytest.mark.slow
-def test_int8_cd_conv_dequant_hybrid():
-    """int8_cd: spatial convs weight-only, dense fully int8 — output sits
-    between full int8 and weight-only, close to both."""
-    from mixdq_tpu.models.configs import TINY_SDXL_UNET
-    from mixdq_tpu.models.unet import UNet2DConditionModel
-    from mixdq_tpu.quant import calibrate as cal
-    from mixdq_tpu.quant.core import QuantSpec
-    from mixdq_tpu.quant.deploy import deploy_unet_ctx, deployed_params
-    from mixdq_tpu.quant.state import quantizable_layers, uniform_ctrl
-
-    model = UNet2DConditionModel(TINY_SDXL_UNET)
-    B = 1
-    b0 = (jax.random.normal(jax.random.PRNGKey(5), (B, 16, 16, 4)),
-          jnp.full((B,), 999.0),
-          jax.random.normal(jax.random.PRNGKey(6), (B, 77, 128)),
-          {"text_embeds": jnp.ones((B, 64)), "time_ids": jnp.ones((B, 6))})
-    variables = jax.jit(model.init)(jax.random.PRNGKey(0), *b0)
-    names = quantizable_layers(variables["params"])
-    WQ = QuantSpec(sym=True, channel_wise=True, round_mode="nearest")
-    AQ = QuantSpec(running_stat=True)
-    qparams = cal.calibrate(model, variables, [b0], WQ, AQ)
-    ctrl = uniform_ctrl(names, w_bits=8, a_bits=8)
-    ctx = deploy_unet_ctx(model, variables, qparams, ctrl, WQ, AQ,
-                          bos_aware=False)
-    pruned = deployed_params(variables, ctx)
-    run = jax.jit(lambda v, c, *a: model.apply(v, *a, c))
-    out_int8 = run(pruned, ctx, *b0)
-    out_cd = run(pruned, ctx.replace(deploy_compute="int8_cd"), *b0)
-    s = float(sqnr(out_int8, out_cd))
-    assert s > 20.0, f"int8_cd vs int8 SQNR too low: {s}"
-    # differs from plain int8 (convs keep FP activations)
-    assert not jnp.allclose(out_int8, out_cd)
-
-
 def test_gelu_exact_vs_tanh_ctx():
     """QuantCtx.gelu switches GEGLU between tanh-approx (default) and the
     diffusers-parity exact erf gelu."""
@@ -485,3 +450,40 @@ def test_unpack_packed_entries_roundtrip():
     np.testing.assert_array_equal(np.asarray(out["a"].w_int), w)
     assert out["a"].w_packed is None
     assert out["b"].kind == "fused_away"
+
+
+@pytest.mark.slow
+def test_dequant_small_m_hybrid():
+    """Small-M hybrid (QuantCtx.dequant_small_m): dense/1x1 layers under
+    the M threshold run weight-only — output stays close to full int8
+    (the act-quantize error disappears for those layers) but differs
+    (they no longer round activations)."""
+    from mixdq_tpu.models.configs import TINY_SDXL_UNET
+    from mixdq_tpu.models.unet import UNet2DConditionModel
+    from mixdq_tpu.quant import calibrate as cal
+    from mixdq_tpu.quant.core import QuantSpec
+    from mixdq_tpu.quant.deploy import deploy_unet_ctx, deployed_params
+    from mixdq_tpu.quant.state import quantizable_layers, uniform_ctrl
+
+    model = UNet2DConditionModel(TINY_SDXL_UNET)
+    B = 1
+    b0 = (jax.random.normal(jax.random.PRNGKey(5), (B, 16, 16, 4)),
+          jnp.full((B,), 999.0),
+          jax.random.normal(jax.random.PRNGKey(6), (B, 77, 128)),
+          {"text_embeds": jnp.ones((B, 64)), "time_ids": jnp.ones((B, 6))})
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), *b0)
+    names = quantizable_layers(variables["params"])
+    WQ = QuantSpec(sym=True, channel_wise=True, round_mode="nearest")
+    AQ = QuantSpec(running_stat=True)
+    qparams = cal.calibrate(model, variables, [b0], WQ, AQ)
+    ctrl = uniform_ctrl(names, w_bits=8, a_bits=8)
+    ctx = deploy_unet_ctx(model, variables, qparams, ctrl, WQ, AQ,
+                          bos_aware=True, fuse_qkv=True)
+    pruned = deployed_params(variables, ctx)
+    run = jax.jit(lambda v, c, *a: model.apply(v, *a, c))
+    out_int8 = run(pruned, ctx, *b0)
+    hyb = ctx.replace(deploy_compute="int8_sec", dequant_small_m=512)
+    out_h = run(pruned, hyb, *b0)
+    s = float(sqnr(out_int8, out_h))
+    assert s > 18.0, f"hybrid vs int8 SQNR too low: {s}"
+    assert not jnp.allclose(out_int8, out_h)
