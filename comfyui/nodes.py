@@ -141,11 +141,32 @@ class MixdqTPUOriginGen(MixdqTPUGenerate):
         return (_generate(pipe, prompt, steps, seed, use_ctx=False),)
 
 
+class MixdqTPUIntegral(MixdqTPUGenerate):
+    """Combined compare node (the reference's ``MixdqIntegral``,
+    kernels/mixdq.py): generates the SAME prompt/seed through both the
+    quantized and the FP path and returns the two images side by side
+    plus the pixel-MSE between them."""
+
+    RETURN_TYPES = ("IMAGE", "STRING")
+    RETURN_NAMES = ("images", "report")
+    FUNCTION = "generate"
+
+    def generate(self, pipe, prompt, steps, seed):
+        import torch
+
+        q = _generate(pipe, prompt, steps, seed, use_ctx=True)
+        fp = _generate(pipe, prompt, steps, seed, use_ctx=False)
+        mse = float(((q - fp) ** 2).mean())
+        report = f"pixel MSE quant vs FP: {mse:.6f}"
+        return (torch.cat([fp, q], dim=0), report)
+
+
 NODE_CLASS_MAPPINGS = {
     "MixdqTPULoadPipeline": MixdqTPULoadPipeline,
     "MixdqTPUQuantize": MixdqTPUQuantize,
     "MixdqTPUGenerate": MixdqTPUGenerate,
     "MixdqTPUOriginGen": MixdqTPUOriginGen,
+    "MixdqTPUIntegral": MixdqTPUIntegral,
 }
 
 NODE_DISPLAY_NAME_MAPPINGS = {
@@ -153,4 +174,5 @@ NODE_DISPLAY_NAME_MAPPINGS = {
     "MixdqTPUQuantize": "MixDQ-TPU Quantize",
     "MixdqTPUGenerate": "MixDQ-TPU Generate (quantized)",
     "MixdqTPUOriginGen": "MixDQ-TPU Generate (FP)",
+    "MixdqTPUIntegral": "MixDQ-TPU Integral (quant vs FP compare)",
 }
