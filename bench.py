@@ -152,7 +152,9 @@ def main():
                 # the packed pallas-wq4 route (4x resident end-to-end)
                 from mixdq_tpu.quant.deploy import unpack_packed_entries
                 ctx = ctx.replace(deploy=unpack_packed_entries(ctx.deploy))
-            small_m = int(os.environ.get("MIXDQ_BENCH_SMALLM", "256"))
+            # small-M hybrid measured slower at B=1 (see QuantCtx
+            # .dequant_small_m) — off unless explicitly requested
+            small_m = int(os.environ.get("MIXDQ_BENCH_SMALLM", "0"))
             ctx = ctx.replace(deploy_compute=compute, attn_impl=attn,
                               dequant_small_m=(small_m
                                                if compute == "int8_sec"

@@ -57,7 +57,7 @@ def _pick_div(total: int, target: int, unit: int = 1) -> int:
 
 
 def _conv_kernel(x_ref, w_ref, scale_ref, bias0_ref, bias_ref, ebias_ref,
-                 res_ref, o_ref, *, bp, Q, Wp, kh, kw):
+                 res_ref, o_ref, *, bp, Q, Wp, kh, kw, tap_concat):
     i = pl.program_id(1)
     row0 = i * bp
     acc = None
@@ -65,6 +65,20 @@ def _conv_kernel(x_ref, w_ref, scale_ref, bias0_ref, bias_ref, ebias_ref,
         # contiguous [bp*Wp, C] slab: rows row0+r .. row0+r+bp of the
         # flattened padded image
         xf = x_ref[0, pl.ds((row0 + r) * Wp, bp * Wp), :]
+        if tap_concat:
+            # one wide dot per kernel row: weights pre-arranged as
+            # [C, kw*bk] so all kw taps share a single MXU pass
+            # (3x fewer, 3x wider dots than the per-tap form); the
+            # per-tap results come back as lane-aligned column slices
+            t = jax.lax.dot_general(
+                xf, w_ref[r, 0], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            bk = t.shape[-1] // kw
+            for s in range(kw):
+                t3 = (t[:, s * bk : (s + 1) * bk]
+                      .reshape(bp, Wp, bk)[:, s : s + Q, :])
+                acc = t3 if acc is None else acc + t3
+            continue
         for s in range(kw):
             t = jax.lax.dot_general(
                 xf, w_ref[r, s], (((1,), (0,)), ((), ())),
@@ -87,7 +101,7 @@ def _conv_kernel(x_ref, w_ref, scale_ref, bias0_ref, bias_ref, ebias_ref,
 
 @functools.partial(jax.jit, static_argnames=("padding", "out_dtype",
                                              "interpret", "bp_target",
-                                             "bk_target"))
+                                             "bk_target", "tap_concat"))
 def qconv2d_pallas(
     x_int8: jnp.ndarray,  # [B, H, W, C] int8 codes (zp-shifted)
     w_int8: jnp.ndarray,  # [kh, kw, C, K] int8
@@ -102,6 +116,7 @@ def qconv2d_pallas(
     interpret: bool = False,
     bp_target: int = 8,
     bk_target: int = 512,
+    tap_concat: bool = False,
 ) -> jnp.ndarray:
     """Stride-1 W8A8 NHWC conv, native int8 MXU math, fused epilogue
     ``(acc - bias0) * scale + bias + extra_bias[b] + residual``. Output
@@ -128,16 +143,31 @@ def qconv2d_pallas(
 
     vec = lambda: pl.BlockSpec((1, bk), lambda b, i, k: (0, k),
                                memory_space=pltpu.VMEM)
+    if tap_concat:
+        # [kh, kw, C, K] -> [kh, K/bk, C, kw*bk]: per kernel row a single
+        # [C, kw*bk] matrix whose lane blocks are the kw taps of one
+        # K-block (host-side one-time transform, hoisted out of scans)
+        wk = (w_int8.transpose(0, 2, 1, 3)         # [kh, C, kw, K]
+              .reshape(kh, C, kw, K // bk, bk)
+              .transpose(0, 3, 1, 2, 4)
+              .reshape(kh, K // bk, C, kw * bk))
+        w_spec = pl.BlockSpec((kh, 1, C, kw * bk),
+                              lambda b, i, k: (0, k, 0, 0),
+                              memory_space=pltpu.VMEM)
+        w_arg = wk
+    else:
+        w_spec = pl.BlockSpec((kh, kw, C, bk), lambda b, i, k: (0, 0, 0, k),
+                              memory_space=pltpu.VMEM)
+        w_arg = w_int8
     in_specs = [
         # full padded image per batch element; constant along (i, k) so
         # the pipeline fetches it once per batch
         pl.BlockSpec((1, Hp * Wp, C), lambda b, i, k: (b, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((kh, kw, C, bk), lambda b, i, k: (0, 0, 0, k),
-                     memory_space=pltpu.VMEM),
+        w_spec,
         vec(), vec(),
     ]
-    args = [xf, w_int8, scale.reshape(1, -1).astype(jnp.float32),
+    args = [xf, w_arg, scale.reshape(1, -1).astype(jnp.float32),
             bias0.reshape(1, -1).astype(jnp.float32)]
     if bias is not None:
         in_specs.append(vec())
@@ -163,7 +193,8 @@ def qconv2d_pallas(
         e_r = rest.pop(0) if has_e else None
         r_r = rest.pop(0) if has_r else None
         _conv_kernel(x_r, w_r, sc_r, b0_r, b_r, e_r, r_r, o_r,
-                     bp=bp, Q=Q, Wp=Wp, kh=kh, kw=kw)
+                     bp=bp, Q=Q, Wp=Wp, kh=kh, kw=kw,
+                     tap_concat=tap_concat)
 
     out = pl.pallas_call(
         kern,

@@ -264,14 +264,15 @@ class QuantCtx:
     deploy_compute: str = struct.field(pytree_node=False, default="int8")
     # Small-M hybrid (trace-time, shape-driven): dense/1x1 layers whose
     # GEMM M (= batch x tokens or batch x pixels) is <= this threshold
-    # run weight-only ('dequant') instead of full int8. Rationale
-    # (profile_unet.py on v5e, B=1): at M<=256 the standalone
-    # act-quantize fusions are op-LATENCY-bound (~3.5 us each, 417 of
-    # them = 1.5 ms/step) while the int8 GEMM saves nothing over a
-    # bf16 GEMM reading the same int8-resident weights — the MXU is
-    # M-underutilized and weight traffic (already int8) dominates.
-    # 0 disables. Shapes are static under jit, so the switch costs no
-    # recompiles and adapts to batch size automatically.
+    # run weight-only ('dequant') instead of full int8. MEASURED LOSER
+    # at B=1 on v5e (bench.py, MIXDQ_BENCH_SMALLM=256: 10.95 ms vs the
+    # pure int8_sec 9.53 ms): small-M GEMMs are WEIGHT-traffic-bound,
+    # and the dequant path reads bf16 weights (XLA hoists the
+    # loop-invariant s8->bf16 convert out of the sampler scan,
+    # materializing a bf16 copy) — doubling the dominant HBM stream
+    # outweighs the removed act-quantize fusions (~3.5 us each).
+    # Kept as an explicit knob for regimes where acts dominate
+    # (very large batch); 0 (off) is the measured-best default.
     dequant_small_m: int = struct.field(pytree_node=False, default=0)
     wq: QuantSpec = struct.field(pytree_node=False, default=_WQ_DEFAULT)
     aq: QuantSpec = struct.field(pytree_node=False, default=_AQ_DEFAULT)

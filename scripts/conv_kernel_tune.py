@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""Pallas int8 conv kernel tuning sweep on the real SDXL shapes.
+
+Measures qconv2d_pallas over (bp_target, bk_target) against the int8
+roofline (394 TOP/s on v5e) and the bf16 XLA conv. Used to pick the
+shipped defaults (DESIGN_NOTES has the history).
+
+Usage: python scripts/conv_kernel_tune.py [--iters 50]
+"""
+
+import argparse
+import itertools
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mixdq_tpu.ops.pallas_qconv import qconv2d_pallas
+
+# (H, W, C, K): the distinct stride-1 3x3 SDXL-Turbo conv shapes at B=1
+SHAPES = [
+    (64, 64, 320, 320),
+    (64, 64, 640, 320),
+    (64, 64, 960, 320),
+    (32, 32, 640, 640),
+    (32, 32, 960, 640),
+    (32, 32, 1280, 640),
+    (32, 32, 1920, 640),
+    (16, 16, 1280, 1280),
+    (16, 16, 1920, 1280),
+    (16, 16, 2560, 1280),
+]
+
+
+def timeit(fn, *a, iters=50):
+    fn(*a).block_until_ready()
+    t0 = time.time()
+    for _ in range(iters):
+        o = fn(*a)
+    o.block_until_ready()
+    return (time.time() - t0) / iters * 1e6  # us
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=50)
+    args = ap.parse_args()
+    print(f"device: {jax.devices()[0]}", flush=True)
+
+    for (H, W, C, K) in SHAPES:
+        B = 1
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.randint(-127, 127, (B, H, W, C)), jnp.int8)
+        w = jnp.asarray(rng.randint(-127, 127, (3, 3, C, K)), jnp.int8)
+        scale = jnp.ones((K,), jnp.float32) * 1e-3
+        bias0 = jnp.zeros((K,), jnp.float32)
+        zp = jnp.int8(0)
+        gmac = 9 * H * W * C * K / 1e9
+        ideal_us = gmac * 2 / 394e3 * 1e6  # 394 TOP/s
+
+        # bf16 XLA conv baseline
+        xb = x.astype(jnp.bfloat16)
+        wb = w.astype(jnp.bfloat16)
+        conv = jax.jit(lambda a, b: jax.lax.conv_general_dilated(
+            a, b, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC")))
+        bf16_us = timeit(conv, xb, wb, iters=args.iters)
+
+        line = (f"{H}x{W} C={C} K={K}  {gmac:5.2f} GMAC "
+                f"ideal={ideal_us:6.1f}us bf16={bf16_us:7.1f}us |")
+        for bp_t, bk_t, tc in itertools.product((8, 16, 32), (512, 640),
+                                                (False, True)):
+            try:
+                f = jax.jit(lambda a, b, s, b0, z, bp=bp_t, bk=bk_t, t=tc:
+                            qconv2d_pallas(a, b, s, b0, z, bp_target=bp,
+                                           bk_target=bk, tap_concat=t))
+                us = timeit(f, x, w, scale, bias0, zp, iters=args.iters)
+                line += f" bp{bp_t}/bk{bk_t}{'/tc' if tc else '   '}={us:6.1f}"
+            except Exception as e:
+                line += f" bp{bp_t}/bk{bk_t}{'/tc' if tc else '   '}=ERR"
+        print(line, flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -156,3 +156,24 @@ def test_int8_sec_mode_cpu_fallback_matches_int8():
     out_sec = run(pruned, ctx.replace(deploy_compute="int8_sec"), *b0)
     np.testing.assert_allclose(np.asarray(out_int8), np.asarray(out_sec),
                                atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("C,K", [(64, 128), (32, 96)])
+def test_pallas_qconv_tap_concat_matches(C, K):
+    """tap_concat variant (one wide [C, kw*bk] dot per kernel row) is
+    bit-equivalent to the per-tap kernel."""
+    rng = np.random.RandomState(3)
+    codes = rng.randint(-128, 128, (1, 10, 10, C)).astype(np.int8)
+    w = rng.randint(-128, 128, (3, 3, C, K)).astype(np.int8)
+    scale = (rng.rand(K).astype(np.float32) + 0.5) * 0.01
+    zp_s = np.float32(5.0)
+    bias0 = zp_s * w.astype(np.int64).sum((0, 1, 2)).astype(np.float32)
+    a = qconv2d_pallas(jnp.asarray(codes), jnp.asarray(w),
+                       jnp.asarray(scale), jnp.asarray(bias0),
+                       jnp.asarray(zp_s), interpret=True,
+                       out_dtype=jnp.float32)
+    b = qconv2d_pallas(jnp.asarray(codes), jnp.asarray(w),
+                       jnp.asarray(scale), jnp.asarray(bias0),
+                       jnp.asarray(zp_s), interpret=True,
+                       out_dtype=jnp.float32, tap_concat=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
