@@ -60,6 +60,15 @@ class Text2ImgPipeline:
             if f.text_encoder_2 is not None else None)
         self.tokenizer = load_tokenizer(tokenizer_path, f.text_encoder.vocab_size)
         self.splits = conv_shortcut_splits(f.unet)
+        # jit-cached per-stage programs: without these, text encode and
+        # VAE decode dispatch op-by-op — harmless on host CPU, but on the
+        # axon-tunneled TPU every eager op costs ~ms, which made repeated
+        # pipeline calls (calib gen, SSIM sensitivity sweeps, election)
+        # minutes-per-image instead of seconds
+        self._encode_jit = jax.jit(self.encode_prompt)
+        self._decode_jit = jax.jit(lambda params, lat: jnp.clip(
+            self.vae.apply({"params": params["vae"]}, lat,
+                           method="decode") / 2 + 0.5, 0.0, 1.0))
 
     # ------------------------------------------------------------------
     # Initialization
@@ -254,7 +263,7 @@ class Text2ImgPipeline:
         width = width or latent_size * 8
 
         tokens = jnp.asarray(self.tokenizer(list(prompts)))
-        embeds, pooled = self.encode_prompt(params, tokens)
+        embeds, pooled = self._encode_jit(params, tokens)
         added = None
         if f.unet.addition_embed_type == "text_time":
             added = {"text_embeds": pooled,
@@ -264,7 +273,7 @@ class Text2ImgPipeline:
         if g > 1.0:
             neg = negative_prompts or [""] * B
             ntokens = jnp.asarray(self.tokenizer(list(neg)))
-            neg_embeds, neg_pooled = self.encode_prompt(params, ntokens)
+            neg_embeds, neg_pooled = self._encode_jit(params, ntokens)
             if added is not None:
                 neg_added = {"text_embeds": neg_pooled,
                              "time_ids": self.default_time_ids(B, height, width)}
@@ -289,9 +298,7 @@ class Text2ImgPipeline:
 
         images = None
         if decode:
-            img = self.vae.apply({"params": params["vae"]}, latents,
-                                 method="decode")
-            images = np.asarray(jnp.clip(img / 2 + 0.5, 0.0, 1.0),
+            images = np.asarray(self._decode_jit(params, latents),
                                 dtype=np.float32)
 
         return PipelineOutput(
