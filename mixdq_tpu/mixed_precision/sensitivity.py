@@ -56,8 +56,11 @@ def sweep_sqnr(
 ) -> Dict[str, List[float]]:
     """SQNR sensitivity for each (layer, bit): higher = less sensitive."""
 
+    # variables/qparams/fp_outputs ride as jit ARGS, not closure
+    # constants — closing over them captures multi-GB params into the
+    # lowered program (slow lowering, doubled HBM)
     @jax.jit
-    def run(ctrl, *batch):
+    def run(variables, qparams, fp_outputs, ctrl, *batch):
         ctx = QuantCtx(qparams=qparams, ctrl=ctrl, mode="fake", wq=wq, aq=aq)
         out = model.apply(variables, *batch, ctx)
         return sqnr(fp_outputs, out)
@@ -71,7 +74,8 @@ def sweep_sqnr(
             # analysis_tools quant_content.py:212-281)
             ctrl = group_ctrl(all_names, [name], which, b,
                               candidate_bits=wq.candidate_bits)
-            vals.append(float(run(ctrl, *calib_batch)))
+            vals.append(float(run(variables, qparams, fp_outputs, ctrl,
+                                  *calib_batch)))
         out[name] = vals
         if li % 20 == 0:
             logger.info("sqnr sweep %d/%d %s -> %s", li, len(layer_names),
@@ -104,8 +108,9 @@ def sweep_sqnr_batched(
         return group_ctrl(all_names, [name], which, b,
                           candidate_bits=wq.candidate_bits)
 
+    # variables/qparams/fp_outputs as jit ARGS (see sweep_sqnr note)
     @jax.jit
-    def run_chunk(ctrl_stack, *batch):
+    def run_chunk(variables, qparams, fp_outputs, ctrl_stack, *batch):
         def one(ctrl):
             ctx = QuantCtx(qparams=qparams, ctrl=ctrl, mode="fake",
                            wq=wq, aq=aq)
@@ -121,7 +126,8 @@ def sweep_sqnr_batched(
         while len(ctrls) < chunk:  # pad -> single compiled shape
             ctrls.append(ctrls[-1])
         stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *ctrls)
-        out = run_chunk(stacked, *calib_batch)
+        out = run_chunk(variables, qparams, fp_outputs, stacked,
+                        *calib_batch)
         # pad the last chunk so the jitted fn sees one shape
         vals.extend([float(v) for v in out[: len(grp)]])
         logger.info("batched sqnr sweep %d/%d", min(i + chunk, len(points)),
