@@ -103,32 +103,50 @@ def sweep_sqnr_batched(
     reference's |layers| x |bits| sequential full runs,
     quant_quality.py:275-301). Memory scales with ``chunk``."""
     points = [(n, b) for n in layer_names for b in bits]
+    names = list(all_names)
+    pos = {n: j for j, n in enumerate(names)}
+    cb = list(wq.candidate_bits)
+    bit_idx = jnp.asarray([cb.index(b) if b in cb else 0 for b in bits],
+                          jnp.int32)
+    is_w = which in ("weight", "both")
+    is_a = which in ("act", "both")
 
-    def make_ctrl_point(name, b):
-        return group_ctrl(all_names, [name], which, b,
-                          candidate_bits=wq.candidate_bits)
+    from ..quant.state import LayerCtrl
 
-    # variables/qparams/fp_outputs as jit ARGS (see sweep_sqnr note)
+    # The sweep-point ctrl pytree is built INSIDE jit from two scalars
+    # (layer index, bit index) — shipping a per-name LayerCtrl dict as a
+    # jit argument per chunk costs |layers| x 4 tiny device transfers
+    # (~3200 puts, ~35 s/chunk over the remote-TPU tunnel); this form
+    # costs two. variables/qparams/fp_outputs ride as jit args, not
+    # closure constants (multi-GB lowering otherwise).
     @jax.jit
-    def run_chunk(variables, qparams, fp_outputs, ctrl_stack, *batch):
-        def one(ctrl):
+    def run_chunk(variables, qparams, fp_outputs, li, bi, *batch):
+        def one(l, b):
+            idx = bit_idx[b]
+            z = jnp.int32(0)
+            ctrl = {}
+            for j, n in enumerate(names):
+                on = l == j
+                ctrl[n] = LayerCtrl(
+                    w_on=jnp.logical_and(on, is_w),
+                    a_on=jnp.logical_and(on, is_a),
+                    w_idx=jnp.where(on, idx, z),
+                    a_idx=jnp.where(on, idx, z))
             ctx = QuantCtx(qparams=qparams, ctrl=ctrl, mode="fake",
                            wq=wq, aq=aq)
             out = model.apply(variables, *batch, ctx)
             return sqnr(fp_outputs, out)
 
-        return jax.vmap(one)(ctrl_stack)
+        return jax.vmap(one)(li, bi)
 
     vals: List[float] = []
     for i in range(0, len(points), chunk):
         grp = points[i : i + chunk]
-        ctrls = [make_ctrl_point(n, b) for n, b in grp]
-        while len(ctrls) < chunk:  # pad -> single compiled shape
-            ctrls.append(ctrls[-1])
-        stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *ctrls)
-        out = run_chunk(variables, qparams, fp_outputs, stacked,
+        pad = grp + [grp[-1]] * (chunk - len(grp))  # single compiled shape
+        li = jnp.asarray([pos[n] for n, _ in pad], jnp.int32)
+        bi = jnp.asarray([bits.index(b) for _, b in pad], jnp.int32)
+        out = run_chunk(variables, qparams, fp_outputs, li, bi,
                         *calib_batch)
-        # pad the last chunk so the jitted fn sees one shape
         vals.extend([float(v) for v in out[: len(grp)]])
         logger.info("batched sqnr sweep %d/%d", min(i + chunk, len(points)),
                     len(points))
@@ -164,12 +182,25 @@ def sweep_ssim(
     if win % 2 == 0:
         win -= 1
 
+    # device-resident ctrl pieces, built once: per sweep point only the
+    # target layer's LayerCtrl is swapped in, so the ctx that crosses
+    # into jit carries no fresh host arrays (a full per-name ctrl dict
+    # is ~3200 tiny device_puts per point over the remote-TPU tunnel)
+    from ..quant.state import make_ctrl, uniform_ctrl
+    base_ctrl = jax.device_put(uniform_ctrl(
+        all_names, w_on=False, a_on=False,
+        candidate_bits=wq.candidate_bits))
+    on_ctrl = {b: jax.device_put(make_ctrl(
+        w_on=(which in ("weight", "both")),
+        a_on=(which in ("act", "both")), w_bits=b, a_bits=b,
+        candidate_bits=wq.candidate_bits)) for b in bits}
+
     out: Dict[str, List[float]] = {}
     for li, name in enumerate(layer_names):
         vals = []
         for b in bits:
-            ctrl = group_ctrl(all_names, [name], which, b,
-                              candidate_bits=wq.candidate_bits)
+            ctrl = dict(base_ctrl)
+            ctrl[name] = on_ctrl[b]
             ctx = QuantCtx(qparams=qparams, ctrl=ctrl, mode="fake",
                            wq=wq, aq=aq)
             q = pipe(params, prompts, key, num_inference_steps=num_steps,
