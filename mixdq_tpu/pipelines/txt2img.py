@@ -69,6 +69,27 @@ class Text2ImgPipeline:
         self._decode_jit = jax.jit(lambda params, lat: jnp.clip(
             self.vae.apply({"params": params["vae"]}, lat,
                            method="decode") / 2 + 0.5, 0.0, 1.0))
+        self._sampler_cache: Dict[Any, Any] = {}
+
+    def _sampler_program(self, steps: int, g: float, capture: bool):
+        """jit-cached denoise-loop program. Without this, ``__call__``
+        re-traces the full UNet scan body every invocation (~tens of
+        seconds of host work per call for SDXL) — fatal for sweep-style
+        callers (sensitivity, election). The schedule is rebuilt inside
+        the traced function (host numpy at trace time -> constants)."""
+        key = (steps, g, capture)
+        if key not in self._sampler_cache:
+            def fn(params, embeds, added, latents, neg_e, neg_a, ctx, k):
+                if self.family.is_sdxl:
+                    schedule = samplers.make_euler_schedule(steps)
+                else:
+                    schedule = samplers.make_lcm_schedule(steps)
+                return self.sample_latents(
+                    params, embeds, added, latents, schedule, g,
+                    neg_e, neg_a, ctx, capture, k)
+
+            self._sampler_cache[key] = jax.jit(fn)
+        return self._sampler_cache[key]
 
     # ------------------------------------------------------------------
     # Initialization
@@ -292,9 +313,10 @@ class Text2ImgPipeline:
         if isinstance(schedule, samplers.EulerSchedule):
             latents = latents * schedule.init_noise_sigma
 
-        latents, traj = self.sample_latents(
-            params, embeds, added, latents, schedule, g,
-            neg_embeds, neg_added, ctx, capture_trajectory, k_lcm)
+        latents, traj = self._sampler_program(
+            steps, float(g), capture_trajectory)(
+            params, embeds, added, latents, neg_embeds, neg_added,
+            ctx, k_lcm)
 
         images = None
         if decode:
