@@ -56,6 +56,42 @@ def _pick_div(total: int, target: int, unit: int = 1) -> int:
     return best or total
 
 
+#: Measured-best (bp_target, bk_target, tap_concat) per conv shape
+#: (H, C, K) at B=1 on TPU v5e — scripts/conv_kernel_tune.py sweep,
+#: bench_logs/conv_tune.txt. Entries only where the win over the
+#: (8, 512, False) default was clear of measurement noise; unlisted
+#: shapes fall back to a rule (see _tuned_config).
+_TUNED = {
+    (64, 320, 320): (8, 640, False),     # 46 -> 24 us
+    (64, 640, 320): (16, 640, True),     # 144 -> 22 us
+    (64, 960, 320): (16, 512, True),     # 32 -> 27 us
+    (32, 640, 640): (8, 640, False),     # 32 -> 22 us
+    (32, 1280, 640): (32, 640, False),   # 27 -> 17 us
+    (32, 1920, 640): (8, 640, False),    # 30 -> 24 us
+    (16, 1280, 1280): (16, 640, True),   # 26 -> 20 us
+    (16, 1920, 1280): (16, 512, True),   # 112 -> 35 us
+    (16, 2560, 1280): (8, 512, True),    # 39 -> 28 us
+}
+
+
+def _tuned_config(H, C, K, bp_target, bk_target, tap_concat):
+    """Resolve block config: explicit caller overrides win; otherwise the
+    measured table, then a rule: very wide inputs (C >= 1536) prefer the
+    tap-concat form (fewer, wider dots); K divisible by 640 prefers
+    bk=640 (the 640-channel levels otherwise fall to bk=128 — the only
+    512-bounded divisor of 640 that is a lane multiple)."""
+    if (bp_target, bk_target, tap_concat) != (8, 512, False):
+        return bp_target, bk_target, tap_concat
+    hit = _TUNED.get((H, C, K))
+    if hit is not None:
+        return hit
+    if C >= 1536:
+        return 16, 512, True
+    if K % 640 == 0:
+        return 8, 640, False
+    return bp_target, bk_target, tap_concat
+
+
 def _conv_kernel(x_ref, w_ref, scale_ref, bias0_ref, bias_ref, ebias_ref,
                  res_ref, o_ref, *, bp, Q, Wp, kh, kw, tap_concat):
     i = pl.program_id(1)
@@ -124,6 +160,8 @@ def qconv2d_pallas(
     B, H, W, C = x_int8.shape
     kh, kw, C2, K = w_int8.shape
     assert C == C2, (C, C2)
+    bp_target, bk_target, tap_concat = _tuned_config(
+        H, C, K, bp_target, bk_target, tap_concat)
     ph, pw = padding
     P, Q = H + 2 * ph - kh + 1, W + 2 * pw - kw + 1
     # padded width rounded to a sublane multiple (int32 reshape needs
