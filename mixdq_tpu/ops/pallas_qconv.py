@@ -126,8 +126,9 @@ def _conv_kernel(x_ref, w_ref, scale_ref, bias0_ref, bias_ref, ebias_ref,
         out = out + bias_ref[0]
     if ebias_ref is not None:
         # per-(batch, out-channel) extra bias — the resnet time-embedding
-        # projection added right after conv1 (ResnetBlock2D)
-        out = out + ebias_ref[0]
+        # projection added right after conv1 (ResnetBlock2D); the block
+        # spans all batches, select this grid step's row
+        out = out + ebias_ref[pl.program_id(0)]
     if res_ref is not None:
         # fused residual/shortcut add (the epilogue XLA loses when the
         # conv leaves its fusion graph — see DESIGN_NOTES layout notes)
@@ -211,7 +212,9 @@ def qconv2d_pallas(
         in_specs.append(vec())
         args.append(bias.reshape(1, -1).astype(jnp.float32))
     if extra_bias is not None:
-        in_specs.append(pl.BlockSpec((1, bk), lambda b, i, k: (b, k),
+        # full [B, bk] block (a (1, bk) block over [B, K] is an illegal
+        # sublane shape when B > 1); the kernel row-indexes by batch id
+        in_specs.append(pl.BlockSpec((B, bk), lambda b, i, k: (0, k),
                                      memory_space=pltpu.VMEM))
         args.append(extra_bias.astype(jnp.float32))
     if residual is not None:
