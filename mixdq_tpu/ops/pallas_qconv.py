@@ -66,12 +66,16 @@ _TUNED = {
     (64, 640, 320): (16, 640, True),     # 144 -> 22 us
     (64, 960, 320): (16, 512, True),     # 32 -> 27 us
     (32, 640, 640): (8, 640, False),     # 32 -> 22 us
-    (32, 1280, 640): (32, 640, False),   # 27 -> 17 us
-    (32, 1920, 640): (8, 640, False),    # 30 -> 24 us
-    (16, 1280, 1280): (16, 640, True),   # 26 -> 20 us
+    (16, 1280, 1280): (32, 512, False),  # 26 -> 21 us
     (16, 1920, 1280): (16, 512, True),   # 112 -> 35 us
     (16, 2560, 1280): (8, 512, True),    # 39 -> 28 us
 }
+
+#: weight-block budget: kernels double-buffer the [.., C, bk] weight
+#: block; past ~6 MB the block + image + residual/out blocks exceed the
+#: 16 MB VMEM scoped limit in-model (observed: bk=640 at C=1280 -> OOM
+#: at 16.52M with the residual epilogue present)
+_W_BLOCK_BUDGET = 6 * 1024 * 1024
 
 
 def _tuned_config(H, C, K, bp_target, bk_target, tap_concat):
@@ -79,17 +83,23 @@ def _tuned_config(H, C, K, bp_target, bk_target, tap_concat):
     measured table, then a rule: very wide inputs (C >= 1536) prefer the
     tap-concat form (fewer, wider dots); K divisible by 640 prefers
     bk=640 (the 640-channel levels otherwise fall to bk=128 — the only
-    512-bounded divisor of 640 that is a lane multiple)."""
+    512-bounded divisor of 640 that is a lane multiple). Any candidate
+    whose weight block exceeds the VMEM budget falls back to the
+    default."""
     if (bp_target, bk_target, tap_concat) != (8, 512, False):
         return bp_target, bk_target, tap_concat
-    hit = _TUNED.get((H, C, K))
-    if hit is not None:
-        return hit
-    if C >= 1536:
-        return 16, 512, True
-    if K % 640 == 0:
-        return 8, 640, False
-    return bp_target, bk_target, tap_concat
+    cand = _TUNED.get((H, C, K))
+    if cand is None:
+        if C >= 1536:
+            cand = (16, 512, True)
+        elif K % 640 == 0:
+            cand = (8, 640, False)
+        else:
+            return bp_target, bk_target, tap_concat
+    bk = K if K <= cand[1] else _pick_div(K, cand[1], 128)
+    if 9 * C * bk > _W_BLOCK_BUDGET:
+        return bp_target, bk_target, tap_concat
+    return cand
 
 
 def _conv_kernel(x_ref, w_ref, scale_ref, bias0_ref, bias_ref, ebias_ref,
