@@ -121,8 +121,7 @@ def main():
     # environment migrates between hosts with very different perf
     # characteristics, so sequential per-mode measurement is unfair.
     variants = {}
-    if backend in ("int8", "int8_fq", "int8_fq_sec", "int8_fq_sec_tf",
-                   "dequant", "auto"):
+    if backend in ("int8", "int8_fq", "int8_fq_sec", "dequant", "auto"):
         from mixdq_tpu.quant.deploy import deploy_unet_ctx, deployed_params
         # auto = the shipped contenders (the losing experimental modes —
         # fused_int8 / int8_tf / int8_cd / int8_pc — were removed after
@@ -136,8 +135,7 @@ def main():
             # Pallas int8 implicit-GEMM kernel (stride-2 via s2d, 1x1 as
             # dots), so no XLA conv remains to be layout-poisoned
             compute = {"int8_fq": "int8",
-                       "int8_fq_sec": "int8_sec",
-                       "int8_fq_sec_tf": "int8_sec_tf"}.get(m, m)
+                       "int8_fq_sec": "int8_sec"}.get(m, m)
             # dequant mode keeps spatial convs FP (convert fuses into
             # matmuls but not convs; dense = 87% of SDXL weights)
             # W4: dense weights ship halves-packed in every mode — the

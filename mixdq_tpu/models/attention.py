@@ -66,11 +66,6 @@ class Attention(nn.Module):
                     and (kv_input.size // kv_input.shape[-1]
                          <= ctx.dequant_small_m)):
                 rc = "dequant"  # small-M hybrid, see QuantCtx
-            if (ctx.deploy_compute == "int8_sec_tf" and rc == "int8"
-                    and dp_f.w_packed is None and dp_f.w_int is not None
-                    and kv_input.size // kv_input.shape[-1] <= 256
-                    and dp_f.w_int.shape[1] <= 3840):
-                rc = "fused_int8"  # see QDense int8_sec_tf gate
             y = deploy_linear(kv_input, dp_f, rc, self.dtype)
             # BoS protection on cross-attn k/v (quant_block.py:585-625):
             # FP (precomputed or dequantized-weight) first-token output.

@@ -48,8 +48,7 @@ def _sow_act_stats(mod: nn.Module, name: str, x: jnp.ndarray, suffix: str = ""):
 #: target family; the experimental losers — fused_int8 / int8_tf /
 #: int8_cd / int8_pc — were removed after in-model benchmarks, see
 #: DESIGN_NOTES.md; their kernels survive as library ops + microbenches).
-DEPLOY_COMPUTE_MODES = ("int8", "int8_sec", "int8_sec_tf", "dequant",
-                        "pallas_dequant")
+DEPLOY_COMPUTE_MODES = ("int8", "int8_sec", "dequant", "pallas_dequant")
 
 
 def resolve_compute(compute: str, name: str, spatial_conv: bool = False,
@@ -59,13 +58,6 @@ def resolve_compute(compute: str, name: str, spatial_conv: bool = False,
         raise ValueError(
             f"unknown deploy_compute {compute!r}; shipped modes: "
             f"{DEPLOY_COMPUTE_MODES}")
-    if compute == "int8_sec_tf":
-        # int8_sec convs + fused act-quantize Pallas GEMMs for the
-        # small-M dense layers (QDense/fused-QKV upgrade 'int8' to
-        # 'fused_int8' by shape at trace time). Viable only now that
-        # int8_sec removed every XLA conv the custom calls used to
-        # layout-poison.
-        compute = "int8_sec"
     if compute == "int8_sec":
         # whole-section pallas convs: EVERY conv leaves XLA's conv
         # pipeline — spatial convs (any stride) via the implicit-GEMM
@@ -137,16 +129,6 @@ def deploy_linear(x, dp, compute: str, dtype):
             return y2.reshape(*lead, y2.shape[-1])
         y = jnp.dot(x, dp.w_int.astype(dtype))
         return y * w_delta.astype(dtype)
-    if compute == "fused_int8" and jax.default_backend() != "cpu":
-        # act-quantize fused into the Pallas GEMM (one op instead of the
-        # quantize fusion + dot pair — the pair is op-latency-bound at
-        # small M); callers gate this by shape, see int8_sec_tf
-        from ..ops.pallas_qmatmul import qmatmul_fused2
-
-        y2 = qmatmul_fused2(x.reshape(-1, x.shape[-1]), dp.w_int,
-                            dp.scale_inv, dp.zp_shifted, dp.scale,
-                            dp.bias0, out_dtype=dtype)
-        return y2.reshape(*lead, y2.shape[-1])
     codes = qops.quantize_per_tensor(x, dp.scale_inv, dp.zp_shifted)
     return qops.qlinear(codes, dp.w_int, dp.scale, dp.bias0,
                         out_dtype=dtype)
@@ -195,14 +177,6 @@ class QDense(nn.Module):
             if (rc == "int8" and ctx.dequant_small_m and dp.w_packed is None
                     and x.size // x.shape[-1] <= ctx.dequant_small_m):
                 rc = "dequant"  # small-M hybrid, see QuantCtx
-            if (ctx.deploy_compute == "int8_sec_tf" and rc == "int8"
-                    and dp.w_packed is None and dp.w_int is not None
-                    and x.size // x.shape[-1] <= 256
-                    and dp.w_int.shape[1] <= 3840):
-                # microbench crossover: fused GEMM wins at M<=256 for
-                # the projection-sized layers (N<=3840); the wide ff
-                # GEMMs and large-M levels stay on the XLA int8 pair
-                rc = "fused_int8"
             y = deploy_linear(x, dp, rc, self.dtype)
             # weight-only routes (dequant family; packed-W4 via the wq4
             # kernel) don't quantize acts, so the BoS token needs no
