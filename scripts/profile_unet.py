@@ -89,14 +89,27 @@ def build_runner(mode: str, family_name: str, B: int, inner: int):
 
 
 _BUCKETS = [
+    ("pallas", re.compile(r"custom-call|tpu_custom_call", re.I)),
     ("quantize", re.compile(r"convert|clamp|round", re.I)),
     ("conv", re.compile(r"conv", re.I)),
     ("gemm/dot", re.compile(r"dot|matmul|gemm", re.I)),
-    ("pallas", re.compile(r"custom-call|tpu_custom_call", re.I)),
     ("reduce/norm", re.compile(r"reduce|norm", re.I)),
     ("elementwise", re.compile(r"fusion|add|multiply|subtract|divide|select|exp|tanh|logistic|max|min", re.I)),
     ("copy/layout", re.compile(r"copy|transpose|reshape|bitcast|pad|slice|concat", re.I)),
 ]
+
+
+def _op_head(name: str) -> str:
+    """The op's own name, stripped of operand text: matching the FULL hlo
+    line buckets an op by its *operands* (e.g. a custom-call whose input
+    is %clamp_convert_fusion lands in 'quantize') — only classify on the
+    text before the operand list."""
+    head = name.split(" = ", 1)
+    if len(head) == 2:
+        # "%opname = type op-kind(operands...)" -> opname + kind token
+        kind = head[1].split("(", 1)[0]
+        return head[0] + " " + kind
+    return name
 
 
 def aggregate(trace_dir: str, steps: int):
@@ -155,8 +168,13 @@ def main():
 
     buckets = collections.Counter()
     for name, ps in per_op.items():
+        if name.startswith("%while"):
+            # the sampler loop op's duration covers its whole body, which
+            # is also reported per-op — counting it double-counts the step
+            continue
+        head = _op_head(name)
         for bname, pat in _BUCKETS:
-            if pat.search(name):
+            if pat.search(head):
                 buckets[bname] += ps
                 break
         else:
