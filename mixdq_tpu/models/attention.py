@@ -136,11 +136,23 @@ class Attention(nn.Module):
                 out = pa.mha(q, k, v, scale)
             out = out.reshape(B, Tq, inner).astype(self.dtype)
         else:
-            logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
+            # head-major batched matmuls: einsums with the head axis in
+            # different positions ("bqhd,bkhd->bhqk" / "bhqk,bkhd->bqhd")
+            # make XLA lower the contraction as a base-dilated
+            # *convolution* inside a loop fusion (measured ~2x the bmm
+            # time at T=1024, and it drags the downstream to_out
+            # quantize into the same slow fusion on the int8 path);
+            # aligning batch dims (b, h) on both operands yields plain
+            # MXU batched GEMMs
+            qh = q.transpose(0, 2, 1, 3)  # [B, h, Tq, d]
+            kh = k.transpose(0, 2, 1, 3)
+            vh = v.transpose(0, 2, 1, 3)
+            logits = jnp.einsum("bhqd,bhkd->bhqk", qh, kh) * scale
             probs = nn.softmax(logits.astype(jnp.float32), axis=-1).astype(self.dtype)
             if ctx.qkv_quant and ctx.softmax_aq is not None:
                 probs = QAct(softmax=True, name="act_quantizer_softmax")(probs, ctx)
-            out = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(B, Tq, inner)
+            out = jnp.einsum("bhqk,bhkd->bhqd", probs, vh)
+            out = out.transpose(0, 2, 1, 3).reshape(B, Tq, inner)
 
         out = QDense(self.query_dim, dtype=self.dtype, name="to_out_0")(out, ctx)
         return out

@@ -270,6 +270,16 @@ class QConv(nn.Module):
             spatial = kh * kw > 1
             mode = resolve_compute(ctx.deploy_compute, name, spatial,
                                    is_conv=True)
+            if x.dtype == jnp.int8:
+                # producer-fused input: x already holds THIS layer's act
+                # codes (emitted by gn_silu_quantize upstream) — valid
+                # only on the int8 compute paths for non-split entries
+                assert mode in ("int8", "int8_sec") and dp.kind == "conv", (
+                    name, mode, dp.kind)
+                return self._int8_forward(
+                    x, dp, split, mode=mode, pre_codes=True,
+                    bias=None if bias is None else bias.astype(self.dtype),
+                    extra_bias=extra_bias, residual=residual)
             # small-M hybrid (see QuantCtx.dequant_small_m): 1x1 convs
             # are GEMMs over B*H*W pixels — below the threshold the
             # act-quantize op costs more than int8 math saves. Spatial
@@ -341,7 +351,7 @@ class QConv(nn.Module):
         )
 
     def _int8_forward(self, x, dp, split, mode="int8", bias=None,
-                      extra_bias=None, residual=None):
+                      extra_bias=None, residual=None, pre_codes=False):
         """Real-quant conv (dual-conv sum for channel-split layers,
         nn/Conv2d.py:312-347). ``bias``/``extra_bias``/``residual`` are
         applied exactly once — fused into the Pallas epilogue on the
@@ -379,10 +389,12 @@ class QConv(nn.Module):
                 return finish(y0 + y1)
             y = self._conv(x, dp.w_int.astype(self.dtype))
             return finish(y * (dp.scale * dp.scale_inv).astype(self.dtype))
-        on_tpu = jax.default_backend() != "cpu"
+        from ..ops import pallas_mode
+
+        use_pallas, interp = pallas_mode()
         sec = mode == "int8_sec"
         kh, kw = self.kernel_size
-        pallas_ok = (sec and on_tpu) and not (
+        pallas_ok = (sec and use_pallas) and not (
             kh * kw == 1 and self.strides == (1, 1))
 
         def conv_1x1_dot(codes, e, b=None):
@@ -405,13 +417,16 @@ class QConv(nn.Module):
                 if self.strides == (2, 2):
                     return (qconv2d_pallas_s2(codes, e.w_int, e.scale,
                                               e.bias0, e.zp_shifted,
-                                              bias=b, padding=pad,
-                                              out_dtype=self.dtype),
-                            ("bias",))
+                                              bias=b, extra_bias=eb,
+                                              residual=res, padding=pad,
+                                              out_dtype=self.dtype,
+                                              interpret=interp),
+                            ("bias", "extra", "res"))
                 return (qconv2d_pallas(codes, e.w_int, e.scale, e.bias0,
                                        e.zp_shifted, bias=b, extra_bias=eb,
                                        residual=res, padding=pad,
-                                       out_dtype=self.dtype),
+                                       out_dtype=self.dtype,
+                                       interpret=interp),
                         ("bias", "extra", "res"))
             return (qops.qconv2d(codes, e.w_int, e.scale, e.bias0,
                                  e.zp_shifted, bias=b, strides=self.strides,
@@ -434,7 +449,9 @@ class QConv(nn.Module):
             y0, done0 = conv_int8(c0, p0, b=bias)
             y1, _ = conv_int8(c1, p1)
             return finish(y0 + y1, done0)
-        codes = qops.quantize_per_tensor(x, dp.scale_inv, dp.zp_shifted)
+        codes = (x if pre_codes
+                 else qops.quantize_per_tensor(x, dp.scale_inv,
+                                               dp.zp_shifted))
         y, done = conv_int8(codes, dp, b=bias,
                             eb=extra_bias if pallas_ok else None,
                             res=residual if pallas_ok else None)

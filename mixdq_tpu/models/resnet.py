@@ -2,7 +2,15 @@
 NHWC). Reference behavior: quant_block.py:59-170 (QuantResnetBlock2D) —
 the ``split`` argument is forwarded to ``conv_shortcut`` only, carrying
 the pre-concat channel count for two-scale quantization of concat-skip
-inputs (quant_block.py:163-166; quant_block_forward_func.py:97-99)."""
+inputs (quant_block.py:163-166; quant_block_forward_func.py:97-99).
+
+int8_sec producer fusion: when the downstream conv is int8-deployed on
+the Pallas section path, the ``GroupNorm -> SiLU -> act-quantize`` chain
+collapses into one ``gn_silu_quantize`` kernel that emits the conv's
+int8 codes directly (the conv skips its own quantize) — see
+ops/pallas_gn_quant.py. The GN params keep their flax names
+(``norm{1,2}.scale/bias``) so checkpoints are path-independent.
+"""
 
 from __future__ import annotations
 
@@ -12,8 +20,39 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..quant.state import QuantCtx
+from ..quant.state import QuantCtx, canonical_name
 from .layers import QConv, QDense
+
+
+class _GNParams(nn.Module):
+    """Parameter-only stand-in for nn.GroupNorm (same param names/shapes)
+    used by the fused gn_silu_quantize path."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.features,),
+                           jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        return scale, bias
+
+
+def fused_gn_entry(ctx: QuantCtx, conv_name: str):
+    """The deploy entry of ``conv_name`` if its GN+SiLU producer can fuse
+    into a gn_silu_quantize kernel (int8_sec Pallas path, plain conv
+    entry, on TPU)."""
+    if ctx.mode != "int8" or ctx.deploy_compute != "int8_sec":
+        return None
+    from ..ops import pallas_mode
+
+    if not pallas_mode()[0]:
+        return None
+    dp = ctx.deploy.get(conv_name) if ctx.deploy else None
+    if dp is None or dp.kind != "conv" or dp.scale_inv is None:
+        return None
+    return dp
 
 
 class ResnetBlock2D(nn.Module):
@@ -24,12 +63,28 @@ class ResnetBlock2D(nn.Module):
     eps: float = 1e-5
     dtype: Any = jnp.float32
 
+    def _norm_act(self, x, idx: int, ctx: QuantCtx):
+        """GroupNorm+SiLU producing either bf16 (plain path) or the next
+        conv's int8 codes (fused int8_sec path)."""
+        name = canonical_name(self.path)
+        dp = fused_gn_entry(ctx, f"{name}.conv{idx}")
+        if dp is not None:
+            from ..ops import pallas_mode
+            from ..ops.pallas_gn_quant import gn_silu_quantize
+
+            gamma, beta = _GNParams(x.shape[-1], name=f"norm{idx}")()
+            return gn_silu_quantize(x, gamma, beta, dp.scale_inv,
+                                    dp.zp_shifted, groups=self.groups,
+                                    eps=self.eps,
+                                    interpret=pallas_mode()[1])
+        h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps,
+                         dtype=self.dtype, name=f"norm{idx}")(x)
+        return nn.silu(h)
+
     @nn.compact
     def __call__(self, x, temb, ctx: QuantCtx = QuantCtx(), split: int = 0):
         residual = x
-        h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps,
-                         dtype=self.dtype, name="norm1")(x)
-        h = nn.silu(h)
+        h = self._norm_act(x, 1, ctx)
 
         t = nn.silu(temb)
         t = QDense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(t, ctx)
@@ -38,9 +93,7 @@ class ResnetBlock2D(nn.Module):
         h = QConv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                   name="conv1")(h, ctx, extra_bias=t)
 
-        h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps,
-                         dtype=self.dtype, name="norm2")(h)
-        h = nn.silu(h)
+        h = self._norm_act(h, 2, ctx)
 
         if self.in_channels != self.out_channels:
             residual = QConv(self.out_channels, (1, 1), padding=0,
@@ -68,6 +121,17 @@ class Upsample2D(nn.Module):
     @nn.compact
     def __call__(self, x, ctx: QuantCtx = QuantCtx()):
         B, H, W, C = x.shape
+        name = canonical_name(self.path)
+        dp = fused_gn_entry(ctx, f"{name}.conv")
+        if dp is not None:
+            # quantize BEFORE the nearest 2x: duplicating pixels commutes
+            # with per-tensor quantization, so this emits identical codes
+            # while quantizing 4x fewer elements and broadcasting int8
+            # (half the HBM traffic of broadcasting bf16)
+            from ..ops import qops
+
+            x = qops.quantize_per_tensor(x.astype(self.dtype),
+                                         dp.scale_inv, dp.zp_shifted)
         # nearest 2x via broadcast+reshape — identical to
         # jax.image.resize(method='nearest') but avoids its gather
         # lowering (indexed loads instead of a pure layout op)

@@ -348,10 +348,24 @@ class UNet2DConditionModel(nn.Module):
             else:
                 raise ValueError(f"unknown up block {btype}")
 
-        # 7. output head
-        h = nn.GroupNorm(num_groups=cfg.norm_num_groups, epsilon=1e-5,
-                         dtype=self.dtype, name="conv_norm_out")(h)
-        h = nn.silu(h)
+        # 7. output head (GN+SiLU fuses into conv_out's act quantize on
+        # the int8_sec pallas path — ops/pallas_gn_quant.py)
+        from .resnet import _GNParams, fused_gn_entry
+
+        dp_out = fused_gn_entry(ctx, "conv_out")
+        if dp_out is not None:
+            from ..ops import pallas_mode
+            from ..ops.pallas_gn_quant import gn_silu_quantize
+
+            gamma, beta = _GNParams(h.shape[-1], name="conv_norm_out")()
+            h = gn_silu_quantize(h, gamma, beta, dp_out.scale_inv,
+                                 dp_out.zp_shifted,
+                                 groups=cfg.norm_num_groups, eps=1e-5,
+                                 interpret=pallas_mode()[1])
+        else:
+            h = nn.GroupNorm(num_groups=cfg.norm_num_groups, epsilon=1e-5,
+                             dtype=self.dtype, name="conv_norm_out")(h)
+            h = nn.silu(h)
         h = QConv(cfg.out_channels, (3, 3), padding=1, dtype=self.dtype,
                   name="conv_out")(h, ctx)
         return h

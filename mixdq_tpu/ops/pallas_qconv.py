@@ -13,19 +13,37 @@ correction stays the uniform per-channel ``bias0`` and no border kernel
 is needed):
 
 * Every SDXL conv's padded input image fits in VMEM (largest ~4.2 MB at
-  the 64x64 level), so the x BlockSpec maps the FULL image per batch
-  element — no halo machinery, fetched once per batch.
+  the 64x64 level), so the x BlockSpec maps the image per batch element
+  (blocked along C when the input-channel grid is active) — no halo
+  machinery.
 * The image is pre-flattened to ``[B, Hp*Wp, C]`` with the padded width
   rounded up to a multiple of 8 so that (a) a kernel row-slab
   ``[bp*Wp, C]`` is a plain contiguous 2D slice (Mosaic cannot
   shape-cast an unaligned ``[bp, Wp, C]`` vector into 2D), and (b) the
   int32 dot result ``[bp*Wp, bk]`` splits back into ``[bp, Wp, bk]``
   along sublane-aligned boundaries.
-* Grid = (B, P/bp, K/bk). Each step computes an output row-block
-  [bp, Q, bk] as kh*kw shifted dots: for tap (r, s),
-  ``t = slab(row0+r) @ w[r, s]`` over the full padded width, then
-  ``acc += t[:, s:s+Q, :]`` — slice AFTER the dot, so only cheap
-  sublane-offset slices of the int32 result are needed. The extra
+* Grid = (B, P/bp, K/bk, C/bc) with the **input-channel dimension
+  innermost**: each (b, i, k) output block accumulates partial tap dots
+  over C-blocks into an int32 VMEM scratch and applies the f32 epilogue
+  on the last C step. C-blocking keeps the streamed weight block at
+  ``kh*kw*bc*bk`` bytes — small enough to double-buffer against the MXU
+  (the round-2 kernel streamed full-C ``kh*kw*C*bk`` blocks, which at
+  the 1920/2560-channel levels exceed what the pipeline can prefetch,
+  serializing DMA behind compute).
+* For the weight-heavy big-C levels the row-block ``bp`` is chosen = P
+  (whole image as one spatial block), so every weight byte is fetched
+  exactly ONCE per batch; the round-2 kernel re-streamed the full
+  weight tensor P/bp times (e.g. 2x29.5 MB for the 2560->1280 convs —
+  memory-bound at ~2x the int8 roofline).
+* Weights stay in the natural ``[kh, kw, C, K]`` layout, blocked
+  ``(kh, kw, bc, bk)`` — NO host/in-graph re-layout. (The round-2
+  ``tap_concat`` variant pre-transposed weights to ``[kh,K/bk,C,kw*bk]``
+  inside the jitted step; XLA materialized the transpose as in-loop
+  layout copies that survived loop-invariant code motion — a measured
+  ~0.9 ms/step of s8 copies inside the SDXL sampler scan.)
+* Per tap (r, s): ``t = slab(row0+r) @ w[r, s]`` over the full padded
+  width, then ``acc += t[:, s:s+Q, :]`` — slice AFTER the dot, so only
+  cheap sublane-offset slices of the int32 result are needed. The extra
   (Wp - Q - s) columns per dot are ~5-10% wasted MXU work, far cheaper
   than per-tap input re-slicing.
 * int32 accumulation (native int8 MXU dot), f32 epilogue, bf16 store.
@@ -56,99 +74,119 @@ def _pick_div(total: int, target: int, unit: int = 1) -> int:
     return best or total
 
 
-#: Measured-best (bp_target, bk_target, tap_concat) per conv shape
-#: (H, C, K) at B=1 on TPU v5e — scripts/conv_kernel_tune.py sweep,
-#: bench_logs/conv_tune.txt. Entries only where the win over the
-#: (8, 512, False) default was clear of measurement noise; unlisted
-#: shapes fall back to a rule (see _tuned_config).
-_TUNED = {
-    (64, 320, 320): (8, 640, False),     # 46 -> 24 us
-    (64, 640, 320): (16, 640, True),     # 144 -> 22 us
-    (64, 960, 320): (16, 512, True),     # 32 -> 27 us
-    (32, 640, 640): (8, 640, False),     # 32 -> 22 us
-    (16, 1280, 1280): (32, 512, False),  # 26 -> 21 us
-    (16, 1920, 1280): (16, 512, True),   # 112 -> 35 us
-    (16, 2560, 1280): (8, 512, True),    # 39 -> 28 us
-}
+#: Measured-best (bp, bk, bc) targets per conv shape (kh, kw, H, C, K)
+#: at B=1 on TPU v5e. CAUTION when re-tuning: the bench host flaps
+#: between speed classes — only within-session comparisons (ideally
+#: in-model per-op trace times from ONE profile_unet run) are valid;
+#: standalone sweep absolute numbers across sessions are not. Entries
+#: only where an in-model win was confirmed; unlisted shapes use the
+#: rule in _auto_config.
+_TUNED = {}
 
-#: weight-block budget: kernels double-buffer the [.., C, bk] weight
-#: block; past ~6 MB the block + image + residual/out blocks exceed the
-#: 16 MB VMEM scoped limit in-model (observed: bk=640 at C=1280 -> OOM
-#: at 16.52M with the residual epilogue present)
-_W_BLOCK_BUDGET = 6 * 1024 * 1024
+#: soft VMEM budget for one grid step's resident blocks (the scoped
+#: limit is 16 MB; leave headroom for Mosaic temporaries)
+_VMEM_BUDGET = 12 * 1024 * 1024
 
 
-def _tuned_config(H, C, K, bp_target, bk_target, tap_concat):
-    """Resolve block config: explicit caller overrides win; otherwise the
-    measured table, then a rule: very wide inputs (C >= 1536) prefer the
-    tap-concat form (fewer, wider dots); K divisible by 640 prefers
-    bk=640 (the 640-channel levels otherwise fall to bk=128 — the only
-    512-bounded divisor of 640 that is a lane multiple). Any candidate
-    whose weight block exceeds the VMEM budget falls back to the
-    default."""
-    if (bp_target, bk_target, tap_concat) != (8, 512, False):
-        return bp_target, bk_target, tap_concat
-    cand = _TUNED.get((H, C, K))
-    if cand is None:
-        if C >= 1536:
-            cand = (16, 512, True)
-        elif K % 640 == 0:
-            cand = (8, 640, False)
-        else:
-            return bp_target, bk_target, tap_concat
-    bk = K if K <= cand[1] else _pick_div(K, cand[1], 128)
-    if 9 * C * bk > _W_BLOCK_BUDGET:
-        return bp_target, bk_target, tap_concat
-    return cand
+def _block_vmem(bp, bk, bc, Q, Wp, HpWp, kh, kw, nc, has_res):
+    """Bytes of VMEM one grid step holds resident: image block (x2 when
+    the C-grid or K-grid revisits it), double-buffered weight block, the
+    int32 accumulator scratch, the per-tap int32 dot transient, and the
+    double-buffered output (+residual) blocks."""
+    v = 2 * HpWp * bc                 # image block (+prefetch twin)
+    v += 2 * kh * kw * bc * bk        # weight block, double-buffered
+    v += 4 * bp * Q * bk              # int32 accumulator scratch
+    v += 4 * bp * Wp * bk             # per-tap dot transient
+    v += 2 * 2 * bp * Q * bk          # bf16 out block, double-buffered
+    if has_res:
+        v += 2 * 2 * bp * Q * bk
+    return v
+
+
+def _auto_config(kh, kw, H, P, Q, Wp, HpWp, C, K, has_res):
+    """Pick (bp, bk, bc).
+
+    bk: ~512-wide lane blocks (640 when it divides K — the 640-channel
+    levels otherwise fall to 128, the only 512-bounded lane-aligned
+    divisor of 640). bc: block C only past 1024 (C-blocks must be
+    lane-aligned divisors so the flat image column slice stays a plain
+    2D block). bp: when the weight tensor is large (the 16x16
+    1280/1920/2560-channel levels) take the WHOLE image as one spatial
+    block so weights stream exactly once; otherwise favor bp that fits
+    the VMEM budget from 32 down.
+    """
+    tuned = _TUNED.get((kh, kw, H, C, K))
+    if tuned is not None:
+        return tuned
+    if K <= 512:
+        bk = K
+    elif K % 640 == 0:
+        bk = 640
+    else:
+        bk = _pick_div(K, 512, 128)
+    if C <= 1024:
+        bc = C
+    else:
+        bc = _pick_div(C, 512, 128)
+        if bc < 256:  # no lane-aligned divisor worth blocking on
+            bc = C
+    w_bytes = kh * kw * C * K
+    nc = C // bc
+    cands = sorted({d for d in range(1, P + 1) if P % d == 0})
+    big_w = w_bytes > 4 * 1024 * 1024
+    for bp in sorted(cands, reverse=True) if big_w else [
+            d for d in sorted(cands, reverse=True) if d <= 32]:
+        if _block_vmem(bp, bk, bc, Q, Wp, HpWp, kh, kw, nc, has_res) \
+                <= _VMEM_BUDGET:
+            return bp, bk, bc
+    return _pick_div(P, 8), bk, bc
 
 
 def _conv_kernel(x_ref, w_ref, scale_ref, bias0_ref, bias_ref, ebias_ref,
-                 res_ref, o_ref, *, bp, Q, Wp, kh, kw, tap_concat):
+                 res_ref, o_ref, acc_ref, *, bp, Q, Wp, kh, kw):
+    b = pl.program_id(0)
     i = pl.program_id(1)
+    c = pl.program_id(3)
+    nc = pl.num_programs(3)
     row0 = i * bp
-    acc = None
+
+    @pl.when(c == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    acc = acc_ref[...]
     for r in range(kh):
-        # contiguous [bp*Wp, C] slab: rows row0+r .. row0+r+bp of the
+        # contiguous [bp*Wp, bc] slab: rows row0+r .. row0+r+bp of the
         # flattened padded image
         xf = x_ref[0, pl.ds((row0 + r) * Wp, bp * Wp), :]
-        if tap_concat:
-            # one wide dot per kernel row: weights pre-arranged as
-            # [C, kw*bk] so all kw taps share a single MXU pass
-            # (3x fewer, 3x wider dots than the per-tap form); the
-            # per-tap results come back as lane-aligned column slices
-            t = jax.lax.dot_general(
-                xf, w_ref[r, 0], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32)
-            bk = t.shape[-1] // kw
-            for s in range(kw):
-                t3 = (t[:, s * bk : (s + 1) * bk]
-                      .reshape(bp, Wp, bk)[:, s : s + Q, :])
-                acc = t3 if acc is None else acc + t3
-            continue
         for s in range(kw):
             t = jax.lax.dot_general(
                 xf, w_ref[r, s], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32)
-            t3 = t.reshape(bp, Wp, t.shape[-1])[:, s : s + Q, :]
-            acc = t3 if acc is None else acc + t3
-    out = (acc.astype(jnp.float32) - bias0_ref[0]) * scale_ref[0]
-    if bias_ref is not None:
-        out = out + bias_ref[0]
-    if ebias_ref is not None:
-        # per-(batch, out-channel) extra bias — the resnet time-embedding
-        # projection added right after conv1 (ResnetBlock2D); the block
-        # spans all batches, select this grid step's row
-        out = out + ebias_ref[pl.program_id(0)]
-    if res_ref is not None:
-        # fused residual/shortcut add (the epilogue XLA loses when the
-        # conv leaves its fusion graph — see DESIGN_NOTES layout notes)
-        out = out + res_ref[0].astype(jnp.float32)
-    o_ref[0] = out.astype(o_ref.dtype)
+            acc += t.reshape(bp, Wp, t.shape[-1])[:, s : s + Q, :]
+    acc_ref[...] = acc
+
+    @pl.when(c == nc - 1)
+    def _epilogue():
+        out = (acc_ref[...].astype(jnp.float32) - bias0_ref[0]) * scale_ref[0]
+        if bias_ref is not None:
+            out = out + bias_ref[0]
+        if ebias_ref is not None:
+            # per-(batch, out-channel) extra bias — the resnet
+            # time-embedding projection added right after conv1
+            # (ResnetBlock2D); the block spans all batches, select this
+            # grid step's row
+            out = out + ebias_ref[b]
+        if res_ref is not None:
+            # fused residual/shortcut add (the epilogue XLA loses when
+            # the conv leaves its fusion graph — see DESIGN_NOTES)
+            out = out + res_ref[0].astype(jnp.float32)
+        o_ref[0] = out.astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("padding", "out_dtype",
                                              "interpret", "bp_target",
-                                             "bk_target", "tap_concat"))
+                                             "bk_target", "bc_target"))
 def qconv2d_pallas(
     x_int8: jnp.ndarray,  # [B, H, W, C] int8 codes (zp-shifted)
     w_int8: jnp.ndarray,  # [kh, kw, C, K] int8
@@ -161,18 +199,20 @@ def qconv2d_pallas(
     padding=(1, 1),
     out_dtype=jnp.bfloat16,
     interpret: bool = False,
-    bp_target: int = 8,
-    bk_target: int = 512,
-    tap_concat: bool = False,
+    bp_target: Optional[int] = None,
+    bk_target: Optional[int] = None,
+    bc_target: Optional[int] = None,
 ) -> jnp.ndarray:
     """Stride-1 W8A8 NHWC conv, native int8 MXU math, fused epilogue
     ``(acc - bias0) * scale + bias + extra_bias[b] + residual``. Output
-    [B, P, Q, K] with P = H + 2*ph - kh + 1, Q = W + 2*pw - kw + 1."""
+    [B, P, Q, K] with P = H + 2*ph - kh + 1, Q = W + 2*pw - kw + 1.
+
+    ``bp_target``/``bk_target``/``bc_target``: explicit block-size
+    overrides (None = auto-tuned per shape; explicit values — even the
+    defaults — bypass auto-tuning, so A/B sweeps are exact)."""
     B, H, W, C = x_int8.shape
     kh, kw, C2, K = w_int8.shape
     assert C == C2, (C, C2)
-    bp_target, bk_target, tap_concat = _tuned_config(
-        H, C, K, bp_target, bk_target, tap_concat)
     ph, pw = padding
     P, Q = H + 2 * ph - kh + 1, W + 2 * pw - kw + 1
     # padded width rounded to a sublane multiple (int32 reshape needs
@@ -186,37 +226,30 @@ def qconv2d_pallas(
         ((0, 0, 0), (ph, ph, 0), (pw, Wp - W - pw, 0), (0, 0, 0)))
     xf = x_p.reshape(B, Hp * Wp, C)
 
-    bp = _pick_div(P, bp_target)
-    bk = K if K <= bk_target else _pick_div(K, bk_target, 128)
-    grid = (B, P // bp, K // bk)
+    auto = _auto_config(kh, kw, H, P, Q, Wp, Hp * Wp, C, K,
+                        residual is not None)
+    bp_t = bp_target if bp_target is not None else auto[0]
+    bk_t = bk_target if bk_target is not None else auto[1]
+    bc_t = bc_target if bc_target is not None else auto[2]
+    bp = _pick_div(P, bp_t)
+    bk = K if K <= bk_t else _pick_div(K, bk_t, 128)
+    bc = C if C <= bc_t else _pick_div(C, bc_t, 128)
+    grid = (B, P // bp, K // bk, C // bc)
 
-    vec = lambda: pl.BlockSpec((1, bk), lambda b, i, k: (0, k),
+    vec = lambda: pl.BlockSpec((1, bk), lambda b, i, k, c: (0, k),
                                memory_space=pltpu.VMEM)
-    if tap_concat:
-        # [kh, kw, C, K] -> [kh, K/bk, C, kw*bk]: per kernel row a single
-        # [C, kw*bk] matrix whose lane blocks are the kw taps of one
-        # K-block (host-side one-time transform, hoisted out of scans)
-        wk = (w_int8.transpose(0, 2, 1, 3)         # [kh, C, kw, K]
-              .reshape(kh, C, kw, K // bk, bk)
-              .transpose(0, 3, 1, 2, 4)
-              .reshape(kh, K // bk, C, kw * bk))
-        w_spec = pl.BlockSpec((kh, 1, C, kw * bk),
-                              lambda b, i, k: (0, k, 0, 0),
-                              memory_space=pltpu.VMEM)
-        w_arg = wk
-    else:
-        w_spec = pl.BlockSpec((kh, kw, C, bk), lambda b, i, k: (0, 0, 0, k),
-                              memory_space=pltpu.VMEM)
-        w_arg = w_int8
     in_specs = [
-        # full padded image per batch element; constant along (i, k) so
-        # the pipeline fetches it once per batch
-        pl.BlockSpec((1, Hp * Wp, C), lambda b, i, k: (b, 0, 0),
+        # padded image per batch element, blocked along C; constant along
+        # (i, k) when bc == C so the pipeline fetches it once per batch
+        pl.BlockSpec((1, Hp * Wp, bc), lambda b, i, k, c: (b, 0, c),
                      memory_space=pltpu.VMEM),
-        w_spec,
+        # natural-layout weight block: kh*kw*bc*bk bytes double-buffer
+        # against the tap dots; no re-layout anywhere
+        pl.BlockSpec((kh, kw, bc, bk), lambda b, i, k, c: (0, 0, c, k),
+                     memory_space=pltpu.VMEM),
         vec(), vec(),
     ]
-    args = [xf, w_arg, scale.reshape(1, -1).astype(jnp.float32),
+    args = [xf, w_int8, scale.reshape(1, -1).astype(jnp.float32),
             bias0.reshape(1, -1).astype(jnp.float32)]
     if bias is not None:
         in_specs.append(vec())
@@ -224,12 +257,12 @@ def qconv2d_pallas(
     if extra_bias is not None:
         # full [B, bk] block (a (1, bk) block over [B, K] is an illegal
         # sublane shape when B > 1); the kernel row-indexes by batch id
-        in_specs.append(pl.BlockSpec((B, bk), lambda b, i, k: (0, k),
+        in_specs.append(pl.BlockSpec((B, bk), lambda b, i, k, c: (0, k),
                                      memory_space=pltpu.VMEM))
         args.append(extra_bias.astype(jnp.float32))
     if residual is not None:
         in_specs.append(pl.BlockSpec((1, bp, Q, bk),
-                                     lambda b, i, k: (b, i, 0, k),
+                                     lambda b, i, k, c: (b, i, 0, k),
                                      memory_space=pltpu.VMEM))
         args.append(residual)
 
@@ -238,23 +271,23 @@ def qconv2d_pallas(
 
     def kern(*refs):
         x_r, w_r, sc_r, b0_r = refs[:4]
-        rest = list(refs[4:-1])
-        o_r = refs[-1]
+        rest = list(refs[4:-2])
+        o_r, acc_r = refs[-2], refs[-1]
         b_r = rest.pop(0) if has_b else None
         e_r = rest.pop(0) if has_e else None
         r_r = rest.pop(0) if has_r else None
-        _conv_kernel(x_r, w_r, sc_r, b0_r, b_r, e_r, r_r, o_r,
-                     bp=bp, Q=Q, Wp=Wp, kh=kh, kw=kw,
-                     tap_concat=tap_concat)
+        _conv_kernel(x_r, w_r, sc_r, b0_r, b_r, e_r, r_r, o_r, acc_r,
+                     bp=bp, Q=Q, Wp=Wp, kh=kh, kw=kw)
 
     out = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, bp, Q, bk),
-                               lambda b, i, k: (b, i, 0, k),
+                               lambda b, i, k, c: (b, i, 0, k),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, P, Q, K), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bp, Q, bk), jnp.int32)],
         cost_estimate=pl.CostEstimate(
             flops=2 * B * P * Wp * kh * kw * C * K,
             bytes_accessed=(B * Hp * Wp * C + kh * kw * C * K
@@ -301,6 +334,8 @@ def qconv2d_pallas_s2(
     bias0: jnp.ndarray,
     zp_shifted: jnp.ndarray,
     bias: Optional[jnp.ndarray] = None,
+    extra_bias: Optional[jnp.ndarray] = None,
+    residual: Optional[jnp.ndarray] = None,
     padding=(1, 1),
     out_dtype=jnp.bfloat16,
     interpret: bool = False,
@@ -308,7 +343,10 @@ def qconv2d_pallas_s2(
     """Stride-2 W8A8 conv as stride-1 over space-to-depth input. Padding
     uses the zp code BEFORE the depth fold, so every folded position still
     encodes ``x = 0`` and ``bias0`` stays the uniform per-channel constant
-    (zero phase-weights kill the out-of-extent taps)."""
+    (zero phase-weights kill the out-of-extent taps). ``extra_bias`` and
+    ``residual`` ride the inner kernel's fused epilogue — downsampler
+    convs pay no unfused adds (CUTLASS parity: csrc/qconv2d EVT epilogues
+    always carry bias+residual)."""
     B, H, W, C = x_int8.shape
     ph, pw = padding
     pad_val = zp_shifted.astype(jnp.int8)
@@ -322,4 +360,5 @@ def qconv2d_pallas_s2(
     x4 = space_to_depth_codes(x_p)
     return qconv2d_pallas(
         x4, s2d_weights(w_int8), scale, bias0, zp_shifted, bias=bias,
+        extra_bias=extra_bias, residual=residual,
         padding=(0, 0), out_dtype=out_dtype, interpret=interpret)

@@ -1,15 +1,18 @@
 #!/usr/bin/env python
 """Pallas int8 conv kernel tuning sweep on the real SDXL shapes.
 
-Measures qconv2d_pallas over (bp_target, bk_target) against the int8
+Measures qconv2d_pallas over (bp, bk, bc) block configs against the int8
 roofline (394 TOP/s on v5e) and the bf16 XLA conv. Used to pick the
-shipped defaults (DESIGN_NOTES has the history).
+shipped auto-rule / _TUNED table (DESIGN_NOTES has the history).
 
-Usage: python scripts/conv_kernel_tune.py [--iters 50]
+Explicit block values bypass auto-tuning exactly (None sentinels in the
+kernel), so every column is a true A/B point; the 'auto' column is what
+ships.
+
+Usage: python scripts/conv_kernel_tune.py [--iters 50] [--batch 1]
 """
 
 import argparse
-import itertools
 import os
 import sys
 import time
@@ -36,6 +39,18 @@ SHAPES = [
     (16, 16, 2560, 1280),
 ]
 
+# candidate (bp, bk, bc) triples per shape class; None = auto
+CONFIGS = [
+    None,
+    ("full", 512, 512),
+    ("full", 640, 512),
+    ("full", 640, 640),
+    (8, 512, None),
+    (16, 512, 512),
+    (16, 640, 640),
+    (32, 512, 512),
+]
+
 
 def timeit(fn, *a, iters=50):
     fn(*a).block_until_ready()
@@ -49,18 +64,19 @@ def timeit(fn, *a, iters=50):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=50)
+    ap.add_argument("--batch", type=int, default=1)
     args = ap.parse_args()
     print(f"device: {jax.devices()[0]}", flush=True)
 
     for (H, W, C, K) in SHAPES:
-        B = 1
+        B = args.batch
         rng = np.random.RandomState(0)
         x = jnp.asarray(rng.randint(-127, 127, (B, H, W, C)), jnp.int8)
         w = jnp.asarray(rng.randint(-127, 127, (3, 3, C, K)), jnp.int8)
         scale = jnp.ones((K,), jnp.float32) * 1e-3
         bias0 = jnp.zeros((K,), jnp.float32)
         zp = jnp.int8(0)
-        gmac = 9 * H * W * C * K / 1e9
+        gmac = B * 9 * H * W * C * K / 1e9
         ideal_us = gmac * 2 / 394e3 * 1e6  # 394 TOP/s
 
         # bf16 XLA conv baseline
@@ -73,16 +89,23 @@ def main():
 
         line = (f"{H}x{W} C={C} K={K}  {gmac:5.2f} GMAC "
                 f"ideal={ideal_us:6.1f}us bf16={bf16_us:7.1f}us |")
-        for bp_t, bk_t, tc in itertools.product((8, 16, 32), (512, 640),
-                                                (False, True)):
+        for cfg in CONFIGS:
+            if cfg is None:
+                bp_t = bk_t = bc_t = None
+                tag = "auto"
+            else:
+                bp_t, bk_t, bc_t = cfg
+                bp_t = H if bp_t == "full" else bp_t
+                tag = f"{cfg[0]}/{bk_t}/{bc_t}"
             try:
-                f = jax.jit(lambda a, b, s, b0, z, bp=bp_t, bk=bk_t, t=tc:
-                            qconv2d_pallas(a, b, s, b0, z, bp_target=bp,
-                                           bk_target=bk, tap_concat=t))
+                f = jax.jit(lambda a, b, s, b0, z, bp=bp_t, bk=bk_t,
+                            bc=bc_t: qconv2d_pallas(
+                                a, b, s, b0, z, bp_target=bp,
+                                bk_target=bk, bc_target=bc))
                 us = timeit(f, x, w, scale, bias0, zp, iters=args.iters)
-                line += f" bp{bp_t}/bk{bk_t}{'/tc' if tc else '   '}={us:6.1f}"
-            except Exception as e:
-                line += f" bp{bp_t}/bk{bk_t}{'/tc' if tc else '   '}=ERR"
+                line += f" {tag}={us:6.1f}"
+            except Exception:
+                line += f" {tag}=ERR"
         print(line, flush=True)
 
 

@@ -158,10 +158,11 @@ def test_int8_sec_mode_cpu_fallback_matches_int8():
                                atol=1e-4, rtol=1e-4)
 
 
-@pytest.mark.parametrize("C,K", [(64, 128), (32, 96)])
-def test_pallas_qconv_tap_concat_matches(C, K):
-    """tap_concat variant (one wide [C, kw*bk] dot per kernel row) is
-    bit-equivalent to the per-tap kernel."""
+@pytest.mark.parametrize("C,K,bc,bk", [(256, 128, 128, 128),
+                                       (384, 256, 128, 128)])
+def test_pallas_qconv_c_blocked_matches(C, K, bc, bk):
+    """Input-channel (C-grid) blocked accumulation is bit-equivalent to
+    the single-C-block kernel (int32 adds are exact, order-free)."""
     rng = np.random.RandomState(3)
     codes = rng.randint(-128, 128, (1, 10, 10, C)).astype(np.int8)
     w = rng.randint(-128, 128, (3, 3, C, K)).astype(np.int8)
@@ -171,9 +172,36 @@ def test_pallas_qconv_tap_concat_matches(C, K):
     a = qconv2d_pallas(jnp.asarray(codes), jnp.asarray(w),
                        jnp.asarray(scale), jnp.asarray(bias0),
                        jnp.asarray(zp_s), interpret=True,
-                       out_dtype=jnp.float32)
+                       out_dtype=jnp.float32, bc_target=C)
     b = qconv2d_pallas(jnp.asarray(codes), jnp.asarray(w),
                        jnp.asarray(scale), jnp.asarray(bias0),
                        jnp.asarray(zp_s), interpret=True,
-                       out_dtype=jnp.float32, tap_concat=True)
+                       out_dtype=jnp.float32, bp_target=4,
+                       bk_target=bk, bc_target=bc)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_pallas_qconv_s2_fused_epilogue():
+    """Stride-2 path carries extra_bias/residual through the fused
+    epilogue (round-3 fix: downsamplers previously paid unfused adds)."""
+    rng = np.random.RandomState(11)
+    B, H, W, C, K = 2, 12, 12, 16, 16
+    codes = rng.randint(-128, 128, (B, H, W, C)).astype(np.int8)
+    w = rng.randint(-128, 128, (3, 3, C, K)).astype(np.int8)
+    scale = (rng.rand(K).astype(np.float32) + 0.5) * 0.01
+    zp_s = np.float32(2.0)
+    bias0 = zp_s * w.astype(np.int64).sum((0, 1, 2)).astype(np.float32)
+    bias = rng.randn(K).astype(np.float32)
+    ebias = rng.randn(B, K).astype(np.float32)
+    base = qops.qconv2d(
+        jnp.asarray(codes), jnp.asarray(w), jnp.asarray(scale),
+        jnp.asarray(bias0), jnp.asarray(zp_s), jnp.asarray(bias),
+        strides=(2, 2), padding=(1, 1), out_dtype=jnp.float32)
+    res = rng.randn(*base.shape).astype(np.float32)
+    want = np.asarray(base) + ebias[:, None, None, :] + res
+    got = qconv2d_pallas_s2(
+        jnp.asarray(codes), jnp.asarray(w), jnp.asarray(scale),
+        jnp.asarray(bias0), jnp.asarray(zp_s), jnp.asarray(bias),
+        extra_bias=jnp.asarray(ebias), residual=jnp.asarray(res),
+        padding=(1, 1), out_dtype=jnp.float32, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-3, atol=1e-2)
