@@ -105,6 +105,11 @@ def sweep_sqnr_batched(
     points = [(n, b) for n in layer_names for b in bits]
     names = list(all_names)
     pos = {n: j for j, n in enumerate(names)}
+    unknown = [n for n in layer_names if n not in pos]
+    if unknown:
+        raise KeyError(
+            "sweep_sqnr_batched takes exact layer names only (no prefix "
+            f"targets — use sweep_sqnr for those); unknown: {unknown[:5]}")
     cb = list(wq.candidate_bits)
     bit_idx = jnp.asarray([cb.index(b) if b in cb else 0 for b in bits],
                           jnp.int32)
@@ -195,12 +200,25 @@ def sweep_ssim(
         a_on=(which in ("act", "both")), w_bits=b, a_bits=b,
         candidate_bits=wq.candidate_bits)) for b in bits}
 
+    # exact name or dotted-prefix targets (group_ctrl semantics); unknown
+    # targets raise instead of silently measuring an unquantized model
+    expanded = {}
+    for name in layer_names:
+        hits = [n for n in all_names
+                if n == name or n.startswith(name + ".")]
+        if not hits:
+            raise KeyError(
+                f"sweep_ssim target {name!r} matches no layer (exact or "
+                "dotted prefix) in all_names")
+        expanded[name] = hits
+
     out: Dict[str, List[float]] = {}
     for li, name in enumerate(layer_names):
         vals = []
         for b in bits:
             ctrl = dict(base_ctrl)
-            ctrl[name] = on_ctrl[b]
+            for n in expanded[name]:
+                ctrl[n] = on_ctrl[b]
             ctx = QuantCtx(qparams=qparams, ctrl=ctrl, mode="fake",
                            wq=wq, aq=aq)
             q = pipe(params, prompts, key, num_inference_steps=num_steps,

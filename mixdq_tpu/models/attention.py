@@ -28,8 +28,45 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..quant.state import QuantCtx
+from ..quant.state import QuantCtx, canonical_name
 from .layers import QAct, QDense
+
+
+class _LNParams(nn.Module):
+    """Parameter-only stand-in for nn.LayerNorm (same param names/shapes)
+    used by the fused ln_quantize path."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.features,),
+                           jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        return scale, bias
+
+
+def fused_ln_entry(ctx: QuantCtx, dense_name: Optional[str]):
+    """The deploy entry of ``dense_name`` if its pre-LayerNorm producer
+    can fuse into an ln_quantize kernel (int8_sec Pallas path, int8 dense
+    entry, on TPU) — the dense-side twin of resnet.fused_gn_entry."""
+    if dense_name is None:
+        return None
+    if ctx.mode != "int8" or ctx.deploy_compute != "int8_sec":
+        return None
+    if ctx.dequant_small_m:
+        # the consumer may switch to weight-only at trace time, which
+        # cannot take pre-quantized codes
+        return None
+    from ..ops import pallas_mode
+
+    if not pallas_mode()[0]:
+        return None
+    dp = ctx.deploy.get(dense_name) if ctx.deploy else None
+    if dp is None or dp.kind != "linear" or dp.scale_inv is None:
+        return None
+    return dp
 
 
 class Attention(nn.Module):
@@ -63,6 +100,7 @@ class Attention(nn.Module):
             rc = resolve_compute(ctx.deploy_compute, fused_name)
             if (rc == "int8" and ctx.dequant_small_m
                     and dp_f.w_packed is None
+                    and kv_input.dtype != jnp.int8
                     and (kv_input.size // kv_input.shape[-1]
                          <= ctx.dequant_small_m)):
                 rc = "dequant"  # small-M hybrid, see QuantCtx
@@ -191,22 +229,42 @@ class BasicTransformerBlock(nn.Module):
     cross_attention_dim: int
     dtype: Any = jnp.float32
 
+    def _ln(self, x, idx: int, consumer: Optional[str], ctx: QuantCtx):
+        """Pre-LayerNorm producing either bf16 (plain path) or the
+        consumer dense layer's int8 codes (fused int8_sec path)."""
+        dp = fused_ln_entry(ctx, consumer)
+        if dp is not None:
+            from ..ops import pallas_mode
+            from ..ops.pallas_ln_quant import ln_quantize
+
+            gamma, beta = _LNParams(x.shape[-1], name=f"norm{idx}")()
+            return ln_quantize(x, gamma, beta, dp.scale_inv, dp.zp_shifted,
+                               interpret=pallas_mode()[1])
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                            name=f"norm{idx}")(x)
+
     @nn.compact
     def __call__(self, hidden_states, encoder_hidden_states,
                  ctx: QuantCtx = QuantCtx()):
-        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(hidden_states)
+        base = canonical_name(self.path)
+        # producer-fused LN -> int8 codes for the downstream dense layers
+        # (norm1 only when the fused to_qkv entry guarantees ONE shared
+        # act scale across q/k/v; norm2 feeds attn2.to_q alone; norm3
+        # feeds ff.net.0.proj alone)
+        h = self._ln(hidden_states, 1,
+                     f"{base}.attn1.to_qkv" if ctx.fuse_qkv else None, ctx)
         hidden_states = hidden_states + Attention(
             self.dim, self.heads, self.head_dim, dtype=self.dtype, name="attn1"
         )(h, None, ctx)
 
-        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(hidden_states)
+        h = self._ln(hidden_states, 2, f"{base}.attn2.to_q", ctx)
         hidden_states = hidden_states + Attention(
             self.dim, self.heads, self.head_dim,
             cross_attention_dim=self.cross_attention_dim,
             dtype=self.dtype, name="attn2",
         )(h, encoder_hidden_states, ctx)
 
-        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(hidden_states)
+        h = self._ln(hidden_states, 3, f"{base}.ff.net.0.proj", ctx)
         hidden_states = hidden_states + FeedForward(self.dim, dtype=self.dtype, name="ff")(h, ctx)
         return hidden_states
 
@@ -232,12 +290,34 @@ class Transformer2DModel(nn.Module):
         inner = self.heads * self.head_dim
         residual = hidden_states
 
-        h = nn.GroupNorm(num_groups=self.norm_num_groups, epsilon=1e-6,
-                         dtype=self.dtype, name="norm")(hidden_states)
-        if self.use_linear_projection:
+        from .resnet import fused_gn_entry
+
+        name = canonical_name(self.path)
+        dp_in = fused_gn_entry(ctx, f"{name}.proj_in", kind="linear") if (
+            self.use_linear_projection and not ctx.dequant_small_m) else None
+        if dp_in is not None:
+            # producer-fused GroupNorm (no SiLU) emitting proj_in's int8
+            # codes — same kernel as the resnet chains, silu=False
+            from ..ops import pallas_mode
+            from ..ops.pallas_gn_quant import gn_silu_quantize
+
+            from .resnet import _GNParams
+
+            gamma, beta = _GNParams(C, name="norm")()
+            h = gn_silu_quantize(hidden_states, gamma, beta, dp_in.scale_inv,
+                                 dp_in.zp_shifted, groups=self.norm_num_groups,
+                                 eps=1e-6, silu=False,
+                                 interpret=pallas_mode()[1])
+            h = h.reshape(B, H * W, C)
+            h = QDense(inner, dtype=self.dtype, name="proj_in")(h, ctx)
+        elif self.use_linear_projection:
+            h = nn.GroupNorm(num_groups=self.norm_num_groups, epsilon=1e-6,
+                             dtype=self.dtype, name="norm")(hidden_states)
             h = h.reshape(B, H * W, C)
             h = QDense(inner, dtype=self.dtype, name="proj_in")(h, ctx)
         else:
+            h = nn.GroupNorm(num_groups=self.norm_num_groups, epsilon=1e-6,
+                             dtype=self.dtype, name="norm")(hidden_states)
             h = QConv(inner, kernel_size=(1, 1), padding=0, dtype=self.dtype,
                       name="proj_in")(h, ctx)
             h = h.reshape(B, H * W, inner)

@@ -82,7 +82,9 @@ def deploy_linear(x, dp, compute: str, dtype):
     """
     from ..ops import qops
 
-    x = x.astype(dtype)
+    pre_codes = x.dtype == jnp.int8
+    if not pre_codes:
+        x = x.astype(dtype)
     lead = x.shape[:-1]
     if dp.w_packed is not None and compute == "int8":
         # W4 with int8 MXU math: unpack the halves-packed nibbles to int8
@@ -97,6 +99,13 @@ def deploy_linear(x, dp, compute: str, dtype):
         hi = (dp.w_packed >> 4).astype(jnp.int8) - 8
         dp = dp.replace(w_int=jnp.concatenate([lo, hi], axis=0),
                         w_packed=None)
+    if pre_codes:
+        # producer-fused input: x already holds THIS layer's int8 act
+        # codes (emitted by ln_quantize / gn_silu_quantize upstream) —
+        # valid only on the int8 compute path
+        assert compute == "int8" and dp.w_packed is None, (compute,)
+        return qops.qlinear(x, dp.w_int, dp.scale, dp.bias0,
+                            out_dtype=dtype)
     if dp.w_packed is not None:
         # halves-packed W4: Pallas in-kernel nibble unpack + bf16 MXU
         # (4x weight memory vs bf16). CPU fallback unpacks.
@@ -172,9 +181,16 @@ class QDense(nn.Module):
                     f"layer {name} was folded into a fused QKV/KV deploy "
                     "entry; it must be called through the fused attention "
                     "path (ctx.fuse_qkv)")
-            x = x.astype(self.dtype)
+            pre_codes = x.dtype == jnp.int8
+            if pre_codes:
+                # producer-fused input (ln_quantize upstream): x holds
+                # this layer's act codes already
+                assert not (bos_aware and ctx.bos_aware), name
+            else:
+                x = x.astype(self.dtype)
             rc = resolve_compute(ctx.deploy_compute, name)
             if (rc == "int8" and ctx.dequant_small_m and dp.w_packed is None
+                    and not pre_codes
                     and x.size // x.shape[-1] <= ctx.dequant_small_m):
                 rc = "dequant"  # small-M hybrid, see QuantCtx
             y = deploy_linear(x, dp, rc, self.dtype)

@@ -39,18 +39,18 @@ class _GNParams(nn.Module):
         return scale, bias
 
 
-def fused_gn_entry(ctx: QuantCtx, conv_name: str):
-    """The deploy entry of ``conv_name`` if its GN+SiLU producer can fuse
-    into a gn_silu_quantize kernel (int8_sec Pallas path, plain conv
-    entry, on TPU)."""
+def fused_gn_entry(ctx: QuantCtx, consumer_name: str, kind: str = "conv"):
+    """The deploy entry of ``consumer_name`` if its GN(+SiLU) producer can
+    fuse into a gn_silu_quantize kernel (int8_sec Pallas path, plain
+    conv/linear entry, on TPU)."""
     if ctx.mode != "int8" or ctx.deploy_compute != "int8_sec":
         return None
     from ..ops import pallas_mode
 
     if not pallas_mode()[0]:
         return None
-    dp = ctx.deploy.get(conv_name) if ctx.deploy else None
-    if dp is None or dp.kind != "conv" or dp.scale_inv is None:
+    dp = ctx.deploy.get(consumer_name) if ctx.deploy else None
+    if dp is None or dp.kind != kind or dp.scale_inv is None:
         return None
     return dp
 

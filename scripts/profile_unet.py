@@ -136,8 +136,7 @@ def aggregate(trace_dir: str, steps: int):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", default="int8_fq",
-                    choices=["bf16", "int8", "int8_fq", "int8_fq_tf",
-                             "int8_fq_cd", "int8_fq_pc", "int8_fq_sec",
+                    choices=["bf16", "int8", "int8_fq", "int8_fq_sec",
                              "dequant"])
     ap.add_argument("--family", default="sdxl-turbo")
     ap.add_argument("--batch", type=int, default=1)
