@@ -162,6 +162,128 @@ def sweep_sqnr_batched(
     return res
 
 
+def sweep_ssim_batched(
+    pipe,
+    params,
+    qparams,
+    layer_names: Sequence[str],
+    all_names: Sequence[str],
+    prompts: Sequence[str],
+    key: jax.Array,
+    wq,
+    aq,
+    which: str = "weight",
+    bits: Sequence[int] = (2, 4, 8),
+    num_steps: Optional[int] = None,
+    ssim_win: int = 255,
+    chunk: int = 4,
+) -> Dict[str, List[float]]:
+    """Vectorized SSIM content sweep: ``chunk`` (layer, bit) control
+    points run through ONE vmapped pipeline program (denoise scan + VAE
+    decode + SSIM all in-jit) — the content-sweep counterpart of
+    ``sweep_sqnr_batched`` (the reference runs |layers| x 3 sequential
+    full generations, quant_content.py:193-251). Exact layer names only;
+    prefix targets go through ``sweep_ssim``."""
+    from ..pipelines import samplers
+    from ..quant.state import LayerCtrl
+
+    points = [(n, b) for n in layer_names for b in bits]
+    names = list(all_names)
+    pos = {n: j for j, n in enumerate(names)}
+    unknown = [n for n in layer_names if n not in pos]
+    if unknown:
+        raise KeyError(
+            "sweep_ssim_batched takes exact layer names only (no prefix "
+            f"targets — use sweep_ssim for those); unknown: {unknown[:5]}")
+    cb = list(wq.candidate_bits)
+    bit_idx = jnp.asarray([cb.index(b) if b in cb else 0 for b in bits],
+                          jnp.int32)
+    is_w = which in ("weight", "both")
+    is_a = which in ("act", "both")
+
+    f = pipe.family
+    steps = num_steps or f.default_steps
+    g = float(f.guidance_scale)
+    B = len(prompts)
+    H = f.unet.sample_size
+
+    # stage setup mirrors Text2ImgPipeline.__call__ (one-time host work)
+    tokens = jnp.asarray(pipe.tokenizer(list(prompts)))
+    embeds, pooled = pipe._encode_jit(params, tokens)
+    added = None
+    if f.unet.addition_embed_type == "text_time":
+        added = {"text_embeds": pooled,
+                 "time_ids": pipe.default_time_ids(B, H * 8, H * 8)}
+    neg_e, neg_a = None, None
+    if g > 1.0:
+        ntokens = jnp.asarray(pipe.tokenizer([""] * B))
+        neg_e, neg_pooled = pipe._encode_jit(params, ntokens)
+        if added is not None:
+            neg_a = {"text_embeds": neg_pooled,
+                     "time_ids": pipe.default_time_ids(B, H * 8, H * 8)}
+    k_noise, k_lcm = jax.random.split(key)
+    latents = jax.random.normal(k_noise, (B, H, H, f.unet.in_channels),
+                                pipe.dtype)
+    if f.is_sdxl:
+        latents = latents * samplers.make_euler_schedule(steps).init_noise_sigma
+
+    # FP reference images (same latents/key as the sweep points)
+    fp = pipe(params, prompts, key, num_inference_steps=num_steps)
+    fp_imgs = jnp.asarray(fp.images)
+    win = min(ssim_win, fp_imgs.shape[1] - 1)
+    if win % 2 == 0:
+        win -= 1
+
+    # ctrl pytrees are built INSIDE jit from two scalars per point (see
+    # sweep_sqnr_batched for why); params/qparams/fp_imgs ride as jit args
+    @jax.jit
+    def run_chunk(params, qparams, fp_imgs, li, bi, embeds, added, latents,
+                  neg_e, neg_a, k):
+        schedule = (samplers.make_euler_schedule(steps) if f.is_sdxl
+                    else samplers.make_lcm_schedule(steps))
+
+        def one(l, b):
+            idx = bit_idx[b]
+            z = jnp.int32(0)
+            ctrl = {}
+            for j, n in enumerate(names):
+                on = l == j
+                ctrl[n] = LayerCtrl(
+                    w_on=jnp.logical_and(on, is_w),
+                    a_on=jnp.logical_and(on, is_a),
+                    w_idx=jnp.where(on, idx, z),
+                    a_idx=jnp.where(on, idx, z))
+            ctx = QuantCtx(qparams=qparams, ctrl=ctrl, mode="fake",
+                           wq=wq, aq=aq)
+            lat, _ = pipe.sample_latents(params, embeds, added, latents,
+                                         schedule, g, neg_e, neg_a, ctx,
+                                         False, k)
+            imgs = jnp.clip(pipe.vae.apply(
+                {"params": params["vae"]}, lat, method="decode") / 2 + 0.5,
+                0.0, 1.0)
+            return jnp.mean(jax.vmap(
+                lambda a, c: ssim(a, c, win_size=win))(fp_imgs, imgs))
+
+        return jax.vmap(one)(li, bi)
+
+    vals: List[float] = []
+    for i in range(0, len(points), chunk):
+        grp = points[i : i + chunk]
+        pad = grp + [grp[-1]] * (chunk - len(grp))  # single compiled shape
+        li = jnp.asarray([pos[n] for n, _ in pad], jnp.int32)
+        bi = jnp.asarray([bits.index(b) for _, b in pad], jnp.int32)
+        out = run_chunk(params, qparams, fp_imgs, li, bi, embeds, added,
+                        latents, neg_e, neg_a, k_lcm)
+        vals.extend([float(v) for v in out[: len(grp)]])
+        logger.info("batched ssim sweep %d/%d", min(i + chunk, len(points)),
+                    len(points))
+
+    res: Dict[str, List[float]] = {}
+    for (n, b), v in zip(points, vals):
+        res.setdefault(n, []).append(v)
+    return res
+
+
 def sweep_ssim(
     pipe,
     params,

@@ -84,14 +84,12 @@ class Attention(nn.Module):
         inner = self.heads * self.head_dim
         is_cross = encoder_hidden_states is not None
         kv_input = encoder_hidden_states if is_cross else hidden_states
+        base = canonical_name(self.path)
 
         # Fused QKV/KV projection (int8 deploy only): one shared-act-scale
         # GEMM instead of three — see deploy.fuse_attention_projections.
         dp_f = None
         if ctx.mode == "int8" and ctx.deploy and ctx.fuse_qkv:
-            from ..quant.state import canonical_name
-
-            base = canonical_name(self.path)
             dp_f = ctx.deploy.get(base + (".to_kv" if is_cross else ".to_qkv"))
         if dp_f is not None:
             from .layers import deploy_linear, resolve_compute
@@ -129,9 +127,9 @@ class Attention(nn.Module):
             if is_cross:
                 q = QDense(inner, use_bias=False, dtype=self.dtype,
                            name="to_q")(hidden_states, ctx)
-                k, v = jnp.split(y, 2, axis=-1)
+                srcs, offs = (q, y, y), (0, 0, inner)
             else:
-                q, k, v = jnp.split(y, 3, axis=-1)
+                srcs, offs = (y, y, y), (0, inner, 2 * inner)
         else:
             q = QDense(inner, use_bias=False, dtype=self.dtype, name="to_q")(
                 hidden_states, ctx)
@@ -141,6 +139,42 @@ class Attention(nn.Module):
                 kv_input, ctx, bos_aware=is_cross)
             v = QDense(inner, use_bias=False, dtype=self.dtype, name="to_v")(
                 kv_input, ctx, bos_aware=is_cross)
+            srcs, offs = (q, k, v), (0, 0, 0)
+
+        # Whole-attention Pallas kernel (int8_sec, T<=1024 levels): ONE
+        # custom call computes QK^T+softmax+PV reading q/k/v straight out
+        # of the projection outputs via lane offsets (no split/transpose
+        # ops) and emits to_out's int8 act codes — producer-side int8
+        # emission for the attention chain. The reference never
+        # accelerates attention (quant_block.py:628-652 keeps torch bmm).
+        if (ctx.mode == "int8" and ctx.deploy_compute == "int8_sec"
+                and ctx.attn_impl == "auto" and not ctx.dequant_small_m
+                and ctx.deploy):
+            from ..ops import pallas_mode
+            from ..ops.pallas_sec_attention import (sec_attention,
+                                                    sec_attention_ok)
+
+            use_pallas, interp = pallas_mode()
+            dp_o = ctx.deploy.get(base + ".to_out.0")
+            Tq_, Tk_ = srcs[0].shape[1], srcs[1].shape[1]
+            if (use_pallas and dp_o is not None and dp_o.kind == "linear"
+                    and dp_o.scale_inv is not None
+                    and sec_attention_ok(self.heads, self.head_dim,
+                                         Tq_, Tk_, *offs)):
+                codes = sec_attention(
+                    *srcs, dp_o.scale_inv, dp_o.zp_shifted,
+                    heads=self.heads, head_dim=self.head_dim,
+                    scale=float(self.head_dim**-0.5),
+                    q_off=offs[0], k_off=offs[1], v_off=offs[2],
+                    interpret=interp)
+                return QDense(self.query_dim, dtype=self.dtype,
+                              name="to_out_0")(codes, ctx)
+
+        if dp_f is not None:
+            if is_cross:
+                k, v = jnp.split(y, 2, axis=-1)
+            else:
+                q, k, v = jnp.split(y, 3, axis=-1)
 
         if ctx.qkv_quant:
             q = QAct(name="act_quantizer_q")(q, ctx)

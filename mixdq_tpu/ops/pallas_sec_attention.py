@@ -1,0 +1,130 @@
+"""Whole-attention Pallas kernel for the int8_sec deploy path.
+
+At SDXL-Turbo B=1 the XLA attention chain costs ~9 ops per site
+(3 head-major transposes, QK^T einsum, softmax stat reduce + exp
+fusion, PV einsum, output transpose, and the standalone to_out
+act-quantize) and there are ~120 sites, most at T<=1024 where every op
+is op-latency bound (~3-20 us). This kernel collapses the whole chain
+into ONE custom call per attention:
+
+* q/k/v are read straight out of the (fused) projection GEMM output via
+  lane-block offsets — no ``jnp.split`` / transpose ops ever materialize.
+  For head_dim d with 128 % d == 0, each grid program owns one 128-lane
+  block = g = 128/d heads (d=64 -> 2 heads/program, the SDXL case).
+* softmax runs in-register on the full [Tq, Tk] logits tile (these are
+  the T<=1024 levels — the tile fits VMEM; T=4096 keeps the flash
+  kernel, ``pallas_attention.py``).
+* the output is written as the downstream ``to_out`` projection's int8
+  activation codes (``round(o/s_a) + zp``), so the standalone
+  act-quantize op disappears too — producer-side int8 emission, the
+  attention-side counterpart of ``pallas_ln_quant`` / ``pallas_gn_quant``.
+
+The reference never accelerates attention (its deployment path keeps
+torch SDPA; q/k/v quantizers are simulation-only, quant_block.py:213-233)
+— this is TPU-surface beyond parity.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _sec_attention_kernel(cst_ref, q_ref, k_ref, v_ref, o_ref, *, g, d, scale):
+    si = cst_ref[0]  # 1 / s_a of the to_out projection
+    zp = cst_ref[1]  # to_out act zero point - 128
+    q = q_ref[0]  # [Tq, g*d]
+    k = k_ref[0]  # [Tk, g*d]
+    v = v_ref[0]
+    outs = []
+    for i in range(g):
+        qi = jax.lax.slice_in_dim(q, i * d, (i + 1) * d, axis=1)
+        ki = jax.lax.slice_in_dim(k, i * d, (i + 1) * d, axis=1)
+        vi = jax.lax.slice_in_dim(v, i * d, (i + 1) * d, axis=1)
+        s = jax.lax.dot_general(qi, ki, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        s = s * scale  # [Tq, Tk]
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        o = jax.lax.dot_general(p.astype(v.dtype), vi, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        o = o / l  # [Tq, d]
+        outs.append(jnp.clip(jnp.round(o * si) + zp, -128.0, 127.0))
+    o_ref[0] = jnp.concatenate(outs, axis=1).astype(jnp.int8)
+
+
+def sec_attention_ok(heads: int, head_dim: int, Tq: int, Tk: int,
+                     *offsets: int) -> bool:
+    """Static gate: lane-block head packing + VMEM logits-tile budget."""
+    if head_dim > 128 or 128 % head_dim:
+        return False
+    g = 128 // head_dim
+    if heads % g:
+        return False
+    if any(off % 128 for off in offsets):
+        return False
+    # full [Tq, Tk] f32 logits tile must fit VMEM (~4 MB each for s/p at
+    # T=1024); larger goes to the flash kernel
+    return Tq * Tk <= 2**20 and Tq % 8 == 0
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "head_dim", "q_off",
+                                             "k_off", "v_off", "scale",
+                                             "interpret"))
+def sec_attention(
+    q_src: jnp.ndarray,  # [B, Tq, >= q_off + heads*head_dim] bf16/f32
+    k_src: jnp.ndarray,  # [B, Tk, >= k_off + heads*head_dim]
+    v_src: jnp.ndarray,  # [B, Tk, >= v_off + heads*head_dim]
+    scale_inv: jnp.ndarray,  # 0-d f32: 1 / to_out act scale
+    zp_shifted: jnp.ndarray,  # 0-d f32: to_out act zero point - 128
+    *,
+    heads: int,
+    head_dim: int,
+    scale: float,  # softmax scale (head_dim ** -0.5)
+    q_off: int = 0,
+    k_off: int = 0,
+    v_off: int = 0,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused MHA + to_out act-quantize: returns int8 codes
+    [B, Tq, heads*head_dim]. q/k/v live at lane offsets ``*_off`` inside
+    their source tensors (e.g. a fused QKV projection output), read
+    directly by the block index maps."""
+    B, Tq = q_src.shape[0], q_src.shape[1]
+    Tk = k_src.shape[1]
+    d = head_dim
+    assert sec_attention_ok(heads, d, Tq, Tk, q_off, k_off, v_off), (
+        heads, d, Tq, Tk, q_off, k_off, v_off)
+    g = 128 // d
+    nj = heads // g
+
+    consts = jnp.stack([jnp.asarray(scale_inv, jnp.float32).reshape(()),
+                        jnp.asarray(zp_shifted, jnp.float32).reshape(())])
+    grid = (B, nj)
+    out = pl.pallas_call(
+        functools.partial(_sec_attention_kernel, g=g, d=d, scale=float(scale)),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, Tq, 128), lambda b, j: (b, 0, q_off // 128 + j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Tk, 128), lambda b, j: (b, 0, k_off // 128 + j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Tk, 128), lambda b, j: (b, 0, v_off // 128 + j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, Tq, 128), lambda b, j: (b, 0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Tq, heads * d), jnp.int8),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * heads * Tq * Tk * d,
+            bytes_accessed=B * nj * 128 * (2 * Tq + 4 * Tk) + B * Tq * heads * d,
+            transcendentals=B * heads * Tq * Tk),
+        interpret=interpret,
+    )(consts, q_src, k_src, v_src)
+    return out

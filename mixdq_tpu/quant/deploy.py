@@ -382,6 +382,33 @@ def precompute_bos_outputs(deploy: Dict[str, Any], params: Dict[str, Any],
     return out
 
 
+def apply_bos_outputs(deploy: Dict[str, Any],
+                      bos: Dict[str, Any]) -> Dict[str, Any]:
+    """Fill ``bos_out`` on deployed cross-attn k/v entries from an
+    offline-computed BoS dict ``{layer_name: [1, N]}`` — e.g. the
+    reference's real-weight ``kernels/bos_pre_computed.pt`` loaded via
+    ``utils.torch_convert.convert_bos_precomputed`` (the torch-side
+    consumer is nn/Linear.py:178-194). Fused ``to_kv`` entries take the
+    concat of the member outputs. Entries without a match are left
+    unchanged."""
+    out = dict(deploy)
+    for name, e in deploy.items():
+        if name.endswith(".attn2.to_kv"):
+            prefix = name[: -len(".to_kv")]
+            k, v = bos.get(f"{prefix}.to_k"), bos.get(f"{prefix}.to_v")
+            if k is None or v is None:
+                continue
+            y0 = jnp.concatenate([jnp.asarray(k, jnp.float32),
+                                  jnp.asarray(v, jnp.float32)], axis=1)
+        elif (".attn2.to_k" in name or ".attn2.to_v" in name) \
+                and name in bos and e.kind != "fused_away":
+            y0 = jnp.asarray(bos[name], jnp.float32)
+        else:
+            continue
+        out[name] = e.replace(bos_out=y0)
+    return out
+
+
 def deployed_params(variables, ctx: QuantCtx):
     """Prune fp kernels of deployed layers from the variables tree."""
     return {**variables,

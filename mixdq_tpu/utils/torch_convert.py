@@ -373,3 +373,27 @@ def convert_reference_qparams(
     for layer, f in frag.items():
         out[layer] = LayerQParams(**{k: jnp.asarray(v) for k, v in f.items()})
     return out
+
+
+def convert_bos_precomputed(
+    d: Mapping[str, np.ndarray],
+) -> Dict[str, np.ndarray]:
+    """Reference ``bos_pre_computed.pt`` -> ``{layer_name: [1, N] f32}``.
+
+    The reference artifact (kernels/bos_pre_computed.pt, generated by the
+    snippet at quantize_sdxl.py:512-520, consumed at nn/Linear.py:178-194)
+    maps cross-attn ``...attn2.to_k/to_v`` module names to the FP16
+    first-token (BoS) projection output ``[1, 1, N]``. Valid because
+    CLIP's causal attention makes the position-0 encoder output
+    prompt-independent. Names already match our canonical layer-name
+    space (diffusers dotted names)."""
+    out: Dict[str, np.ndarray] = {}
+    for name, v in d.items():
+        if name.startswith("model."):
+            name = name[len("model."):]
+        if not (".attn2.to_k" in name or ".attn2.to_v" in name):
+            raise ValueError(f"unexpected BoS entry {name!r} (want "
+                             "cross-attn to_k/to_v projections)")
+        a = np.asarray(v, np.float32)
+        out[name] = a.reshape(1, a.shape[-1])
+    return out

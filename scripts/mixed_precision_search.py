@@ -120,10 +120,17 @@ def main():
     prompts = load_prompts(None, args.n_prompts)
     key = jax.random.PRNGKey(args.seed)
     bits_c = tuple(wq.candidate_bits)
-    sens_c = sensitivity.sweep_ssim(
-        pipe, params, qparams, content, names, prompts, key, wq, aq,
-        which=args.which, bits=bits_c,
-        num_steps=cfg.inference.get("num_steps"))
+    if args.batched:
+        sens_c = sensitivity.sweep_ssim_batched(
+            pipe, params, qparams, content, names, prompts, key, wq, aq,
+            which=args.which, bits=bits_c,
+            num_steps=cfg.inference.get("num_steps"),
+            chunk=min(args.batched, 4))
+    else:
+        sens_c = sensitivity.sweep_ssim(
+            pipe, params, qparams, content, names, prompts, key, wq, aq,
+            which=args.which, bits=bits_c,
+            num_steps=cfg.inference.get("num_steps"))
 
     # act-protect election: the most-sensitive act layers stay FP
     # (reference hard-codes 5 SSIM + 5 SQNR layers and ships

@@ -130,3 +130,39 @@ def test_sweep_sqnr_batched_matches_sequential():
                                          bits=(4, 8), chunk=4)
     for n in subset:
         np.testing.assert_allclose(bat[n], seq[n], rtol=1e-3, atol=0.2)
+
+
+@pytest.mark.slow
+def test_sweep_ssim_batched_matches_sequential():
+    from mixdq_tpu.pipelines.txt2img import Text2ImgPipeline
+    from mixdq_tpu.quant import calibrate as cal
+    from mixdq_tpu.quant.core import QuantSpec
+    from mixdq_tpu.quant.state import quantizable_layers
+
+    pipe = Text2ImgPipeline("tiny-sdxl")
+    params = pipe.init_params(jax.random.PRNGKey(0))
+    B = 1
+    b0 = (jax.random.normal(jax.random.PRNGKey(9), (B, 16, 16, 4)),
+          jnp.full((B,), 999.0),
+          jax.random.normal(jax.random.PRNGKey(8), (B, 77, 128)),
+          {"text_embeds": jnp.ones((B, 64)), "time_ids": jnp.ones((B, 6))})
+    variables = {"params": params["unet"]}
+    names = sorted(quantizable_layers(params["unet"]))
+    WQ = QuantSpec(sym=True, channel_wise=True, round_mode="nearest")
+    AQ = QuantSpec(running_stat=True)
+    qparams = cal.calibrate(pipe.unet, variables, [b0], WQ, AQ)
+
+    content, _ = sensitivity.split_metric_groups(names)
+    subset = content[:2]
+    prompts = ["a cat"]
+    key = jax.random.PRNGKey(3)
+    seq = sensitivity.sweep_ssim(pipe, params, qparams, subset, names,
+                                 prompts, key, WQ, AQ, bits=(2, 8),
+                                 num_steps=1)
+    bat = sensitivity.sweep_ssim_batched(pipe, params, qparams, subset,
+                                         names, prompts, key, WQ, AQ,
+                                         bits=(2, 8), num_steps=1, chunk=3)
+    for n in subset:
+        # quantized-at-2-bit layers must read as more sensitive than at 8
+        assert bat[n][0] <= bat[n][1] + 1e-3
+        np.testing.assert_allclose(bat[n], seq[n], atol=5e-3)

@@ -1,0 +1,119 @@
+"""sec_attention (fused whole-attention + to_out quantize) vs the XLA
+einsum-chain reference, interpret mode on CPU."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mixdq_tpu.ops.pallas_sec_attention import sec_attention, sec_attention_ok
+
+
+def einsum_ref(q, k, v, scale, scale_inv, zp):
+    """The Attention einsum chain + quantize_per_tensor, heads layout
+    [B, T, h*d]."""
+    B, Tq, hd = q.shape
+    Tk = k.shape[1]
+    d = 64
+    h = hd // d
+    qh = q.reshape(B, Tq, h, d).transpose(0, 2, 1, 3).astype(jnp.float32)
+    kh = k.reshape(B, Tk, h, d).transpose(0, 2, 1, 3).astype(jnp.float32)
+    vh = v.reshape(B, Tk, h, d).transpose(0, 2, 1, 3).astype(jnp.float32)
+    logits = jnp.einsum("bhqd,bhkd->bhqk", qh, kh) * scale
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhqk,bhkd->bhqd", probs, vh)
+    out = out.transpose(0, 2, 1, 3).reshape(B, Tq, hd)
+    codes = jnp.round(out * scale_inv) + zp
+    return jnp.clip(codes, -128.0, 127.0).astype(jnp.int8)
+
+
+@pytest.mark.parametrize("Tq,Tk", [(64, 64), (256, 77)])
+def test_sec_attention_matches_einsum(Tq, Tk):
+    h, d = 4, 64
+    key = jax.random.PRNGKey(0)
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (2, Tq, h * d), jnp.float32)
+    k = jax.random.normal(kk, (2, Tk, h * d), jnp.float32)
+    v = jax.random.normal(kv, (2, Tk, h * d), jnp.float32)
+    scale = d ** -0.5
+    si = jnp.asarray(37.0)
+    zp = jnp.asarray(-3.0)
+
+    got = sec_attention(q, k, v, si, zp, heads=h, head_dim=d, scale=scale,
+                        interpret=True)
+    want = einsum_ref(q, k, v, scale, si, zp)
+    # f32 in-kernel softmax vs XLA chain: codes within 1 step
+    assert got.shape == want.shape == (2, Tq, h * d)
+    diff = np.abs(got.astype(np.int32) - want.astype(np.int32))
+    assert diff.max() <= 1
+    assert (diff > 0).mean() < 0.01
+
+
+def test_sec_attention_lane_offsets():
+    """q/k/v packed in one fused-projection output tensor, read via
+    lane offsets — must match the unpacked call."""
+    h, d = 2, 64
+    inner = h * d
+    Tq = 32
+    key = jax.random.PRNGKey(1)
+    y = jax.random.normal(key, (1, Tq, 3 * inner), jnp.float32)
+    si = jnp.asarray(21.0)
+    zp = jnp.asarray(5.0)
+    scale = d ** -0.5
+
+    fused = sec_attention(y, y, y, si, zp, heads=h, head_dim=d, scale=scale,
+                          q_off=0, k_off=inner, v_off=2 * inner,
+                          interpret=True)
+    q, k, v = jnp.split(y, 3, axis=-1)
+    plain = sec_attention(q, k, v, si, zp, heads=h, head_dim=d, scale=scale,
+                          interpret=True)
+    np.testing.assert_array_equal(np.asarray(fused), np.asarray(plain))
+
+
+def test_sec_attention_in_model_int8_sec(monkeypatch):
+    """Transformer2DModel e2e: int8_sec (interpret pallas, fused
+    whole-attention + producer LN fusion) vs the plain int8 path."""
+    from mixdq_tpu.models.attention import Transformer2DModel
+    from mixdq_tpu.quant import calibrate as cal
+    from mixdq_tpu.quant.core import QuantSpec
+    from mixdq_tpu.quant.deploy import deploy_unet_ctx, deployed_params
+    from mixdq_tpu.quant.state import quantizable_layers, uniform_ctrl
+
+    model = Transformer2DModel(in_channels=64, heads=2, head_dim=64,
+                               num_layers=1, cross_attention_dim=64,
+                               norm_num_groups=16)
+    x = jax.random.normal(jax.random.PRNGKey(3), (1, 8, 8, 64))
+    ehs = jax.random.normal(jax.random.PRNGKey(4), (1, 77, 64))
+    variables = model.init(jax.random.PRNGKey(0), x, ehs)
+    names = quantizable_layers(variables["params"])
+    wq = QuantSpec(sym=True, channel_wise=True, round_mode="nearest")
+    aq = QuantSpec(running_stat=True)
+    qparams = cal.calibrate(model, variables, [(x, ehs)], wq, aq)
+    ctrl = uniform_ctrl(names, w_bits=8, a_bits=8)
+    ctx = deploy_unet_ctx(model, variables, qparams, ctrl, wq, aq,
+                          bos_aware=False, fuse_qkv=True)
+    pruned = deployed_params(variables, ctx)
+    run = jax.jit(lambda v, c, *a: model.apply(v, *a, c))
+    out_int8 = np.asarray(run(pruned, ctx, x, ehs))
+
+    monkeypatch.setenv("MIXDQ_PALLAS_INTERPRET", "1")
+    sctx = ctx.replace(deploy_compute="int8_sec", attn_impl="auto")
+    # the sec-attention kernel must actually be in the traced graph
+    # (head_dim=64, heads=2 passes the lane-pack gate)
+    jaxpr = jax.make_jaxpr(lambda v, c, *a: model.apply(v, *a, c))(
+        pruned, sctx, x, ehs)
+    assert "sec_attention" in repr(jaxpr)
+    out_sec = np.asarray(run(pruned, sctx, x, ehs))
+    # f32 in-kernel softmax vs the XLA einsum chain: act codes move by
+    # <= 1 step; downstream effect stays within a few quant steps
+    assert np.isfinite(out_sec).all()
+    assert np.max(np.abs(out_sec - out_int8)) < 0.3
+
+
+def test_sec_attention_gate():
+    assert sec_attention_ok(10, 64, 1024, 1024)
+    assert sec_attention_ok(20, 64, 256, 77, 1280, 2560)
+    assert not sec_attention_ok(5, 64, 256, 256)        # odd head pairing
+    assert not sec_attention_ok(8, 40, 256, 256)        # 128 % d != 0
+    assert not sec_attention_ok(8, 64, 4096, 4096)      # logits > VMEM
+    assert not sec_attention_ok(8, 64, 256, 256, 320)   # unaligned offset
