@@ -114,6 +114,36 @@ def main():
     qparams = cal.calibrate(unet, variables, [(sample, t, ehs, added)], wq, aq)
     ctrl = uniform_ctrl(names, w_bits=w_bits, a_bits=8)
 
+    # Mixed-precision deploy bench (the reference's actual headline
+    # configuration — W4A8-mixed 1.5x/3.4x, README.md:28): point these at
+    # the elected final_config YAMLs + act-protect list, e.g.
+    #   MIXDQ_BENCH_MP_W=configs/mp/sdxl_turbo/final_config/weight/5.04.yaml
+    #   MIXDQ_BENCH_MP_A=configs/mp/sdxl_turbo/final_config/act/7.43.yaml
+    #   MIXDQ_BENCH_MP_PROTECT=configs/mp/sdxl_turbo/act_protect.yaml
+    mp_w = os.environ.get("MIXDQ_BENCH_MP_W")
+    mp_a = os.environ.get("MIXDQ_BENCH_MP_A")
+    mp_protect = os.environ.get("MIXDQ_BENCH_MP_PROTECT")
+    mp_label = ""
+    if mp_w or mp_a or mp_protect:
+        import yaml
+
+        from mixdq_tpu.quant.state import apply_bitwidth_config, protect_layers
+
+        cb = wq.candidate_bits
+        if mp_w:
+            with open(mp_w) as fh:
+                ctrl = apply_bitwidth_config(ctrl, yaml.safe_load(fh),
+                                             "weight", cb)
+            mp_label += f" W{os.path.basename(mp_w).rsplit('.', 1)[0]}"
+        if mp_protect:
+            with open(mp_protect) as fh:
+                ctrl = protect_layers(ctrl, yaml.safe_load(fh), "act")
+        if mp_a:
+            with open(mp_a) as fh:
+                ctrl = apply_bitwidth_config(ctrl, yaml.safe_load(fh),
+                                             "act", cb)
+            mp_label += f"A{os.path.basename(mp_a).rsplit('.', 1)[0]}"
+
     q_fn = lambda s, v, c, tt, e, a: unet.apply(v, s, tt, e, a, c)
 
     # Build all candidate quant variants, then measure INTERLEAVED with
@@ -142,11 +172,12 @@ def main():
             # int8 modes unpack in-graph (hoisted out of the sampler
             # scan, full int8 speed); dequant mode uses the pallas wq4
             # kernel (no transient unpacked copy, slower)
+            pack = w_bits == 4 or bool(mp_w)  # MP elects W<=4 layers
             ctx = deploy_unet_ctx(unet, variables, qparams, ctrl, wq, aq,
                                   skip_spatial_convs=(m == "dequant"),
-                                  pack_w4=(w_bits == 4),
+                                  pack_w4=pack,
                                   fuse_qkv=m.startswith("int8_fq"))
-            if w_bits == 4 and m != "dequant":
+            if pack and m != "dequant":
                 # latency-optimal W4: unpack once outside the sampler
                 # loop (4x checkpoint, W8A8-speed steps); 'dequant' keeps
                 # the packed pallas-wq4 route (4x resident end-to-end)
@@ -216,8 +247,9 @@ def main():
     except Exception as e:
         log(f"memory analysis unavailable: {e}")
 
+    bits_tag = mp_label.strip() if mp_label else f"W{w_bits}A8"
     print(json.dumps({
-        "metric": f"{family_name} UNet W{w_bits}A8({backend}) ms/step (B={B})",
+        "metric": f"{family_name} UNet {bits_tag}({backend}) ms/step (B={B})",
         "value": round(q_ms, 2),
         "unit": "ms",
         "vs_baseline": round(fp_ms / q_ms, 3),

@@ -412,6 +412,14 @@ class QConv(nn.Module):
         kh, kw = self.kernel_size
         pallas_ok = (sec and use_pallas) and not (
             kh * kw == 1 and self.strides == (1, 1))
+        if pallas_ok and kh * kw > 1:
+            # whole-image-resident kernel design: oversized maps (VAE
+            # decode 512x512 level) fall back to the XLA s8 conv
+            from ..ops.pallas_qconv import image_fits_vmem
+
+            pallas_ok = image_fits_vmem(
+                x.shape[1], x.shape[2], x.shape[3], pad,
+                stride=self.strides[0])
 
         def conv_1x1_dot(codes, e, b=None):
             # 1x1 conv IS a matmul — keep it off the conv pipeline

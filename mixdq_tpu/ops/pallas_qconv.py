@@ -103,6 +103,22 @@ def _block_vmem(bp, bk, bc, Q, Wp, HpWp, kh, kw, nc, has_res):
     return v
 
 
+def image_fits_vmem(H: int, W: int, C: int, padding=(1, 1),
+                    stride: int = 1) -> bool:
+    """Static gate for the whole-image-resident kernel design: the padded
+    image's smallest lane-aligned C-block must fit a VMEM share. VAE
+    decode maps past ~313x313 (e.g. 512x512x128) fail and fall back to
+    the XLA s8 conv in ``models.layers.QConv``."""
+    ph, pw = padding if isinstance(padding, tuple) else (padding, padding)
+    if stride == 2:  # s2d folds to (H/2, W/2, 4C) — same byte count
+        H, W, C = (H + 2 * ph + 1) // 2, (W + 2 * pw + 1) // 2, 4 * C
+        ph = pw = 0
+    Hp = H + 2 * ph
+    Wp = _round_up(W + 2 * pw, 8)
+    bcs = [d for d in range(128, C + 1, 128) if C % d == 0] or [C]
+    return Hp * Wp * min(bcs) <= 9 * 1024 * 1024
+
+
 def _auto_config(kh, kw, H, P, Q, Wp, HpWp, C, K, has_res):
     """Pick (bp, bk, bc).
 
@@ -130,6 +146,11 @@ def _auto_config(kh, kw, H, P, Q, Wp, HpWp, C, K, has_res):
         bc = _pick_div(C, 512, 128)
         if bc < 256:  # no lane-aligned divisor worth blocking on
             bc = C
+    # large feature maps (VAE decode levels, e.g. 256x256x512): the image
+    # block is [Hp*Wp, bc] — shrink bc until it fits its share of VMEM
+    while HpWp * bc > 9 * 1024 * 1024 and bc > 128 and bc % 2 == 0 \
+            and C % (bc // 2) == 0 and (bc // 2) % 128 == 0:
+        bc = bc // 2
     w_bytes = kh * kw * C * K
     nc = C // bc
     cands = sorted({d for d in range(1, P + 1) if P % d == 0})

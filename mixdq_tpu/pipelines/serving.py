@@ -46,6 +46,7 @@ class ServingEngine:
         height: Optional[int] = None,
         width: Optional[int] = None,
         mesh=None,
+        vae_ctx: QuantCtx = QuantCtx(),
     ):
         f = pipe.family
         self.pipe = pipe
@@ -56,6 +57,7 @@ class ServingEngine:
         self.width = width or f.unet.sample_size * 8
         self.mesh = mesh
         self.ctx = ctx
+        self.vae_ctx = vae_ctx
 
         if mesh is not None:
             from ..parallel.mesh import make_param_shardings
@@ -70,6 +72,11 @@ class ServingEngine:
                 # replicated on every chip.
                 self.ctx = ctx = ctx.replace(deploy=jax.device_put(
                     ctx.deploy, make_param_shardings(mesh, ctx.deploy)))
+            if vae_ctx.deploy:
+                self.vae_ctx = vae_ctx = vae_ctx.replace(
+                    deploy=jax.device_put(
+                        vae_ctx.deploy,
+                        make_param_shardings(mesh, vae_ctx.deploy)))
         self.params = params
 
         if f.is_sdxl:
@@ -82,7 +89,7 @@ class ServingEngine:
     def _build(self):
         pipe, f = self.pipe, self.pipe.family
 
-        def run(params, ctx, tokens, ntokens, key):
+        def run(params, ctx, vae_ctx, tokens, ntokens, key):
             embeds, pooled = pipe.encode_prompt(params, tokens)
             added = None
             if f.unet.addition_embed_type == "text_time":
@@ -107,14 +114,15 @@ class ServingEngine:
                 params, embeds, added, latents, self.schedule, self.g,
                 neg_embeds, neg_added, ctx, False, k_lcm)
             img = pipe.vae.apply({"params": params["vae"]}, latents,
-                                 method="decode")
+                                 vae_ctx, method="decode")
             return jnp.clip(img / 2 + 0.5, 0.0, 1.0)
 
         jit_kwargs = {}
         if self.mesh is not None:
             tok_sharding = NamedSharding(self.mesh, P("dp", None))
             jit_kwargs = dict(
-                in_shardings=(None, None, tok_sharding, tok_sharding, None))
+                in_shardings=(None, None, None, tok_sharding, tok_sharding,
+                              None))
         fn = jax.jit(run, **jit_kwargs)
         return fn
 
@@ -122,7 +130,8 @@ class ServingEngine:
         """Force AOT compilation with dummy inputs (warm the cache)."""
         tokens = jnp.zeros((self.B, 77), jnp.int32)
         key = jax.random.PRNGKey(0)
-        out = self._generate(self.params, self.ctx, tokens, tokens, key)
+        out = self._generate(self.params, self.ctx, self.vae_ctx, tokens,
+                             tokens, key)
         jax.block_until_ready(out)
         return self
 
@@ -133,6 +142,6 @@ class ServingEngine:
         tokens = jnp.asarray(self.pipe.tokenizer(list(prompts)))
         neg = negative_prompts or [""] * self.B
         ntokens = jnp.asarray(self.pipe.tokenizer(list(neg)))
-        out = self._generate(self.params, self.ctx, tokens, ntokens,
-                             jax.random.PRNGKey(seed))
+        out = self._generate(self.params, self.ctx, self.vae_ctx, tokens,
+                             ntokens, jax.random.PRNGKey(seed))
         return np.asarray(out)

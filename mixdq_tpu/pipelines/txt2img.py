@@ -66,8 +66,8 @@ class Text2ImgPipeline:
         # pipeline calls (calib gen, SSIM sensitivity sweeps, election)
         # minutes-per-image instead of seconds
         self._encode_jit = jax.jit(self.encode_prompt)
-        self._decode_jit = jax.jit(lambda params, lat: jnp.clip(
-            self.vae.apply({"params": params["vae"]}, lat,
+        self._decode_jit = jax.jit(lambda params, lat, vctx=QuantCtx(): jnp.clip(
+            self.vae.apply({"params": params["vae"]}, lat, vctx,
                            method="decode") / 2 + 0.5, 0.0, 1.0))
         self._sampler_cache: Dict[Any, Any] = {}
 
@@ -274,6 +274,7 @@ class Text2ImgPipeline:
         capture_trajectory: bool = False,
         negative_prompts: Optional[Sequence[str]] = None,
         decode: bool = True,
+        vae_ctx: QuantCtx = QuantCtx(),
     ) -> PipelineOutput:
         f = self.family
         steps = num_inference_steps or f.default_steps
@@ -320,7 +321,7 @@ class Text2ImgPipeline:
 
         images = None
         if decode:
-            images = np.asarray(self._decode_jit(params, latents),
+            images = np.asarray(self._decode_jit(params, latents, vae_ctx),
                                 dtype=np.float32)
 
         return PipelineOutput(

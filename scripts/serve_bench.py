@@ -45,6 +45,11 @@ def main():
     ap.add_argument("--deploy_compute", default="int8_sec")
     ap.add_argument("--rounds", type=int, default=3)
     ap.add_argument("--fuse_qkv", action="store_true", default=True)
+    ap.add_argument("--quantize_vae", action="store_true",
+                    help="int8 VAE decoder in the quantized engine "
+                         "(beyond-parity TPU surface; the reference keeps "
+                         "the VAE fp16, quantize_sdxl.py:31-37)")
+    ap.add_argument("--vae_compute", default="int8_sec")
     args = ap.parse_args()
 
     cfg = load_config(os.path.join(args.base_path, "config.yaml"))
@@ -66,6 +71,23 @@ def main():
     q_params = {**params, "unet": prune_deployed_kernels(params["unet"],
                                                          ctx.deploy)}
 
+    vae_kw = {}
+    if args.quantize_vae:
+        import jax
+
+        from mixdq_tpu.quant.vae_quant import quantize_vae_decoder
+
+        H = (cfg.inference.get("height") or
+             pipe.family.unet.sample_size * 8) // 8
+        lat = [jax.random.normal(jax.random.PRNGKey(7),
+                                 (args.batch_size, H, H, 4)) * 0.35]
+        pruned_vae, vctx = quantize_vae_decoder(
+            pipe.vae, {"params": params["vae"]}, lat, wq, aq,
+            deploy_compute=args.vae_compute)
+        q_params = {**q_params, "vae": pruned_vae["params"]}
+        vae_kw = dict(vae_ctx=vctx)
+        log(f"int8 VAE decoder: {len(vctx.deploy)} layers deployed")
+
     kw = dict(batch_size=args.batch_size, steps=args.steps,
               height=cfg.inference.get("height"),
               width=cfg.inference.get("width"))
@@ -73,7 +95,7 @@ def main():
     eng_fp = ServingEngine(pipe, params, QuantCtx(), **kw).compile()
     log(f"fp engine compiled in {time.time()-t0:.1f}s")
     t0 = time.time()
-    eng_q = ServingEngine(pipe, q_params, ctx, **kw).compile()
+    eng_q = ServingEngine(pipe, q_params, ctx, **kw, **vae_kw).compile()
     log(f"int8 engine compiled in {time.time()-t0:.1f}s")
 
     prompts = load_prompts(None, args.batch_size)
@@ -102,6 +124,7 @@ def main():
         "steps": args.steps,
         "batch_size": args.batch_size,
         "deploy_compute": args.deploy_compute,
+        "quantize_vae": bool(args.quantize_vae),
         "fp_imgs_per_sec": round(args.batch_size / fp_dt, 3),
         "int8_imgs_per_sec": round(args.batch_size / q_dt, 3),
         "speedup": round(statistics.median(ratios), 3),

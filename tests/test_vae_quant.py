@@ -1,0 +1,93 @@
+"""Int8 VAE decoder quantization (quant.vae_quant) — beyond-parity TPU
+surface: the reference keeps the VAE fp16 (quantize_sdxl.py:31-37)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mixdq_tpu.models.configs import TINY_VAE
+from mixdq_tpu.models.vae import AutoencoderKL
+from mixdq_tpu.quant.state import QuantCtx
+from mixdq_tpu.quant.vae_quant import quantize_vae_decoder
+from mixdq_tpu.utils.metrics import sqnr
+
+
+@pytest.fixture(scope="module")
+def vae_setup():
+    vae = AutoencoderKL(TINY_VAE)
+    z = jax.random.normal(jax.random.PRNGKey(0), (1, 8, 8, 4)) * 0.2
+    variables = jax.jit(lambda k, x: vae.init(k, x))(
+        jax.random.PRNGKey(1), jnp.zeros((1, 64, 64, 3)))
+    return vae, variables, z
+
+
+def test_vae_fp_unchanged_by_quant_layers(vae_setup):
+    """QConv/QDense with the default FP ctx behave as plain layers: the
+    decode output is deterministic and finite; param tree keeps the
+    nn.Conv-compatible names."""
+    vae, variables, z = vae_setup
+    img = jax.jit(lambda v, z: vae.apply(v, z, method="decode"))(variables, z)
+    assert img.shape == (1, 64, 64, 3)
+    assert np.isfinite(np.asarray(img)).all()
+    dec = variables["params"]["decoder"]
+    assert "kernel" in dec["conv_in"] and "bias" in dec["conv_in"]
+    assert "kernel" in dec["mid_block"]["attentions_0"]["to_q"]
+
+
+def test_quantize_vae_decoder_int8(vae_setup):
+    vae, variables, z = vae_setup
+    fp = np.asarray(jax.jit(
+        lambda v, z: vae.apply(v, z, method="decode"))(variables, z),
+        np.float32)
+
+    pruned, ctx = quantize_vae_decoder(vae, variables, [z],
+                                       deploy_compute="int8")
+    # decoder conv kernels pruned from the deployed tree (static memory)
+    assert "kernel" not in pruned["params"]["decoder"]["conv_in"]
+    q = np.asarray(jax.jit(
+        lambda v, c, z: vae.apply(v, z, c, method="decode"))(
+        pruned, ctx, z), np.float32)
+    assert np.isfinite(q).all()
+    s = float(sqnr(jnp.asarray(fp), jnp.asarray(q)))
+    assert s > 15.0, f"int8 VAE decode SQNR {s:.1f} dB too low"
+
+
+def test_vae_int8_sec_matches_int8(vae_setup, monkeypatch):
+    """int8_sec (pallas interpret) == int8 within quant-step drift."""
+    vae, variables, z = vae_setup
+    pruned, ctx = quantize_vae_decoder(vae, variables, [z],
+                                       deploy_compute="int8")
+    run = jax.jit(lambda v, c, z: vae.apply(v, z, c, method="decode"))
+    out_int8 = np.asarray(run(pruned, ctx, z), np.float32)
+    monkeypatch.setenv("MIXDQ_PALLAS_INTERPRET", "1")
+    out_sec = np.asarray(run(pruned, ctx.replace(deploy_compute="int8_sec"),
+                             z), np.float32)
+    np.testing.assert_allclose(out_sec, out_int8, atol=0.05)
+
+
+def test_pipeline_decode_takes_vae_ctx(vae_setup):
+    """Text2ImgPipeline decode accepts a quantized-VAE ctx."""
+    from mixdq_tpu.pipelines.txt2img import Text2ImgPipeline
+
+    pipe = Text2ImgPipeline("tiny-sdxl")
+    params = pipe.init_params(jax.random.PRNGKey(0))
+    vae_vars = {"params": params["vae"]}
+    z = jax.random.normal(jax.random.PRNGKey(2), (1, 16, 16, 4)) * 0.2
+    pruned, vctx = quantize_vae_decoder(pipe.vae, vae_vars, [z],
+                                        deploy_compute="int8")
+    params_q = dict(params, vae=pruned["params"])
+    img_fp = pipe._decode_jit(params, z)
+    img_q = pipe._decode_jit(params_q, z, vctx)
+    assert img_q.shape == img_fp.shape
+    assert np.isfinite(np.asarray(img_q)).all()
+
+
+def test_image_fits_vmem_gate():
+    from mixdq_tpu.ops.pallas_qconv import image_fits_vmem
+
+    assert image_fits_vmem(64, 64, 1280)        # SDXL levels all fit
+    assert image_fits_vmem(128, 128, 512)       # VAE 128x128 level
+    assert image_fits_vmem(256, 256, 512)       # bc shrinks to 128
+    assert not image_fits_vmem(512, 512, 128)   # VAE 512x512 level
+    assert not image_fits_vmem(512, 512, 256)
