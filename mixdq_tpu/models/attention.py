@@ -64,7 +64,8 @@ def fused_ln_entry(ctx: QuantCtx, dense_name: Optional[str]):
     if not pallas_mode()[0]:
         return None
     dp = ctx.deploy.get(dense_name) if ctx.deploy else None
-    if dp is None or dp.kind != "linear" or dp.scale_inv is None:
+    if (dp is None or dp.kind != "linear" or dp.scale_inv is None
+            or dp.act_off):
         return None
     return dp
 
@@ -158,15 +159,17 @@ class Attention(nn.Module):
             dp_o = ctx.deploy.get(base + ".to_out.0")
             Tq_, Tk_ = srcs[0].shape[1], srcs[1].shape[1]
             if (use_pallas and dp_o is not None and dp_o.kind == "linear"
-                    and dp_o.scale_inv is not None
+                    and dp_o.scale_inv is not None and not dp_o.act_off
                     and sec_attention_ok(self.heads, self.head_dim,
                                          Tq_, Tk_, *offs)):
+                from ..ops.qops import act_clip_range
+
                 codes = sec_attention(
                     *srcs, dp_o.scale_inv, dp_o.zp_shifted,
                     heads=self.heads, head_dim=self.head_dim,
                     scale=float(self.head_dim**-0.5),
                     q_off=offs[0], k_off=offs[1], v_off=offs[2],
-                    interpret=interp)
+                    interpret=interp, clip=act_clip_range(dp_o.a_bits))
                 return QDense(self.query_dim, dtype=self.dtype,
                               name="to_out_0")(codes, ctx)
 
@@ -271,9 +274,12 @@ class BasicTransformerBlock(nn.Module):
             from ..ops import pallas_mode
             from ..ops.pallas_ln_quant import ln_quantize
 
+            from ..ops.qops import act_clip_range
+
             gamma, beta = _LNParams(x.shape[-1], name=f"norm{idx}")()
             return ln_quantize(x, gamma, beta, dp.scale_inv, dp.zp_shifted,
-                               interpret=pallas_mode()[1])
+                               interpret=pallas_mode()[1],
+                               clip=act_clip_range(dp.a_bits))
         return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
                             name=f"norm{idx}")(x)
 
@@ -337,11 +343,14 @@ class Transformer2DModel(nn.Module):
 
             from .resnet import _GNParams
 
+            from ..ops.qops import act_clip_range
+
             gamma, beta = _GNParams(C, name="norm")()
             h = gn_silu_quantize(hidden_states, gamma, beta, dp_in.scale_inv,
                                  dp_in.zp_shifted, groups=self.norm_num_groups,
                                  eps=1e-6, silu=False,
-                                 interpret=pallas_mode()[1])
+                                 interpret=pallas_mode()[1],
+                                 clip=act_clip_range(dp_in.a_bits))
             h = h.reshape(B, H * W, C)
             h = QDense(inner, dtype=self.dtype, name="proj_in")(h, ctx)
         elif self.use_linear_projection:

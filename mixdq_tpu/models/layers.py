@@ -138,7 +138,8 @@ def deploy_linear(x, dp, compute: str, dtype):
             return y2.reshape(*lead, y2.shape[-1])
         y = jnp.dot(x, dp.w_int.astype(dtype))
         return y * w_delta.astype(dtype)
-    codes = qops.quantize_per_tensor(x, dp.scale_inv, dp.zp_shifted)
+    codes = qops.quantize_per_tensor(x, dp.scale_inv, dp.zp_shifted,
+                                     *qops.act_clip_range(dp.a_bits))
     return qops.qlinear(codes, dp.w_int, dp.scale, dp.bias0,
                         out_dtype=dtype)
 
@@ -189,6 +190,11 @@ class QDense(nn.Module):
             else:
                 x = x.astype(self.dtype)
             rc = resolve_compute(ctx.deploy_compute, name)
+            if dp.act_off:
+                # act-protected layer: weight-only (acts stay FP) — the
+                # simulation semantics of --act_protect with the int8
+                # weight-residency win kept
+                rc = "dequant"
             if (rc == "int8" and ctx.dequant_small_m and dp.w_packed is None
                     and not pre_codes
                     and x.size // x.shape[-1] <= ctx.dequant_small_m):
@@ -286,6 +292,8 @@ class QConv(nn.Module):
             spatial = kh * kw > 1
             mode = resolve_compute(ctx.deploy_compute, name, spatial,
                                    is_conv=True)
+            if dp.act_off:
+                mode = "dequant"  # act-protected: weight-only conv
             if x.dtype == jnp.int8:
                 # producer-fused input: x already holds THIS layer's act
                 # codes (emitted by gn_silu_quantize upstream) — valid
@@ -461,9 +469,11 @@ class QConv(nn.Module):
             s = dp.split
             p0, p1 = dp.part0, dp.part1
             c0 = qops.quantize_per_tensor(x[..., :s], p0.scale_inv,
-                                          p0.zp_shifted)
+                                          p0.zp_shifted,
+                                          *qops.act_clip_range(p0.a_bits))
             c1 = qops.quantize_per_tensor(x[..., s:], p1.scale_inv,
-                                          p1.zp_shifted)
+                                          p1.zp_shifted,
+                                          *qops.act_clip_range(p1.a_bits))
             if pallas_ok and self.strides == (1, 1):
                 # chain the dual-conv sum through the epilogues: part1
                 # absorbs the external residual, part0 absorbs part1
@@ -474,8 +484,9 @@ class QConv(nn.Module):
             y1, _ = conv_int8(c1, p1)
             return finish(y0 + y1, done0)
         codes = (x if pre_codes
-                 else qops.quantize_per_tensor(x, dp.scale_inv,
-                                               dp.zp_shifted))
+                 else qops.quantize_per_tensor(
+                     x, dp.scale_inv, dp.zp_shifted,
+                     *qops.act_clip_range(dp.a_bits)))
         y, done = conv_int8(codes, dp, b=bias,
                             eb=extra_bias if pallas_ok else None,
                             res=residual if pallas_ok else None)

@@ -50,7 +50,7 @@ def fused_gn_entry(ctx: QuantCtx, consumer_name: str, kind: str = "conv"):
     if not pallas_mode()[0]:
         return None
     dp = ctx.deploy.get(consumer_name) if ctx.deploy else None
-    if dp is None or dp.kind != kind or dp.scale_inv is None:
+    if dp is None or dp.kind != kind or dp.scale_inv is None or dp.act_off:
         return None
     return dp
 
@@ -73,10 +73,13 @@ class ResnetBlock2D(nn.Module):
             from ..ops.pallas_gn_quant import gn_silu_quantize
 
             gamma, beta = _GNParams(x.shape[-1], name=f"norm{idx}")()
+            from ..ops.qops import act_clip_range
+
             return gn_silu_quantize(x, gamma, beta, dp.scale_inv,
                                     dp.zp_shifted, groups=self.groups,
                                     eps=self.eps,
-                                    interpret=pallas_mode()[1])
+                                    interpret=pallas_mode()[1],
+                                    clip=act_clip_range(dp.a_bits))
         h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps,
                          dtype=self.dtype, name=f"norm{idx}")(x)
         return nn.silu(h)
@@ -131,7 +134,8 @@ class Upsample2D(nn.Module):
             from ..ops import qops
 
             x = qops.quantize_per_tensor(x.astype(self.dtype),
-                                         dp.scale_inv, dp.zp_shifted)
+                                         dp.scale_inv, dp.zp_shifted,
+                                         *qops.act_clip_range(dp.a_bits))
         # nearest 2x via broadcast+reshape — identical to
         # jax.image.resize(method='nearest') but avoids its gather
         # lowering (indexed loads instead of a pure layout op)

@@ -357,11 +357,14 @@ class UNet2DConditionModel(nn.Module):
             from ..ops import pallas_mode
             from ..ops.pallas_gn_quant import gn_silu_quantize
 
+            from ..ops.qops import act_clip_range
+
             gamma, beta = _GNParams(h.shape[-1], name="conv_norm_out")()
             h = gn_silu_quantize(h, gamma, beta, dp_out.scale_inv,
                                  dp_out.zp_shifted,
                                  groups=cfg.norm_num_groups, eps=1e-5,
-                                 interpret=pallas_mode()[1])
+                                 interpret=pallas_mode()[1],
+                                 clip=act_clip_range(dp_out.a_bits))
         else:
             h = nn.GroupNorm(num_groups=cfg.norm_num_groups, epsilon=1e-5,
                              dtype=self.dtype, name="conv_norm_out")(h)

@@ -107,26 +107,29 @@ def _kernel(x_ref, gmat_ref, gam_ref, beta_ref, cst_ref, o_ref,
         if silu:
             y = y * jax.nn.sigmoid(y)
         q = jnp.round(y * cst_ref[0, 0]) + cst_ref[0, 1]
-        o_ref[0] = jnp.clip(q, -128.0, 127.0).astype(jnp.int8)
+        o_ref[0] = jnp.clip(q, cst_ref[0, 2], cst_ref[0, 3]).astype(jnp.int8)
 
 
 @functools.partial(jax.jit, static_argnames=("groups", "eps", "silu",
-                                             "interpret", "block_rows"))
+                                             "interpret", "block_rows",
+                                             "clip"))
 def gn_silu_quantize(
     x: jnp.ndarray,  # [B, H, W, C] (or [B, N, C]) bf16/f32
     gamma: jnp.ndarray,  # [C]
     beta: jnp.ndarray,  # [C]
     scale_inv: jnp.ndarray,  # 0-d f32 (1 / act scale)
-    zp_shifted: jnp.ndarray,  # 0-d f32 (act zero point - 128)
+    zp_shifted: jnp.ndarray,  # 0-d f32 (act zero point - 2^(b-1))
     groups: int = 32,
     eps: float = 1e-5,
     silu: bool = True,
     interpret: bool = False,
     block_rows: int = 0,
+    clip: tuple = (-128.0, 127.0),  # act_clip_range(a_bits)
 ) -> jnp.ndarray:
     """``quantize(silu(group_norm(x)), scale_inv, zp)`` -> int8 codes,
     same shape as ``x``. Matches ``qops.quantize_per_tensor`` code
-    semantics exactly (round-half-even, clip [-128, 127])."""
+    semantics exactly (round-half-even, clip at the consumer's a_bits
+    saturation bounds)."""
     shape = x.shape
     B, C = shape[0], shape[-1]
     N = int(np.prod(shape[1:-1]))
@@ -137,8 +140,9 @@ def gn_silu_quantize(
     grid = (B, 2, N // bs)
     gmat = jnp.asarray(group_matrix(C, groups))
     consts = jnp.stack([scale_inv.astype(jnp.float32).reshape(()),
-                        zp_shifted.astype(jnp.float32).reshape(())]
-                       ).reshape(1, 2)
+                        zp_shifted.astype(jnp.float32).reshape(()),
+                        jnp.float32(clip[0]), jnp.float32(clip[1])]
+                       ).reshape(1, 4)
 
     out = pl.pallas_call(
         functools.partial(_kernel, N=N, C=C, groups=groups, eps=eps,
@@ -153,7 +157,7 @@ def gn_silu_quantize(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, C), lambda b, p, i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2), lambda b, p, i: (0, 0),
+            pl.BlockSpec((1, 4), lambda b, p, i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, bs, C), lambda b, p, i: (b, i, 0),

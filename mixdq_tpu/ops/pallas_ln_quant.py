@@ -47,11 +47,11 @@ def _kernel(x_ref, gam_ref, beta_ref, cst_ref, o_ref, *, C, eps):
     y = (xf - mean) * jax.lax.rsqrt(var + eps)
     y = y * gam_ref[...] + beta_ref[...]
     q = jnp.round(y * cst_ref[0, 0]) + cst_ref[0, 1]
-    o_ref[0] = jnp.clip(q, -128.0, 127.0).astype(jnp.int8)
+    o_ref[0] = jnp.clip(q, cst_ref[0, 2], cst_ref[0, 3]).astype(jnp.int8)
 
 
 @functools.partial(jax.jit, static_argnames=("eps", "interpret",
-                                             "block_rows"))
+                                             "block_rows", "clip"))
 def ln_quantize(
     x: jnp.ndarray,  # [B, T, C] (or [B, H, W, C]) bf16/f32
     gamma: jnp.ndarray,  # [C]
@@ -61,6 +61,7 @@ def ln_quantize(
     eps: float = 1e-5,
     interpret: bool = False,
     block_rows: int = 0,
+    clip: tuple = (-128.0, 127.0),  # act_clip_range(a_bits)
 ) -> jnp.ndarray:
     """``quantize(layer_norm(x), scale_inv, zp)`` -> int8 codes, same
     shape as ``x``. Matches ``qops.quantize_per_tensor`` code semantics
@@ -74,8 +75,9 @@ def ln_quantize(
                                         // 8 * 8))
     grid = (B, N // bs)
     consts = jnp.stack([scale_inv.astype(jnp.float32).reshape(()),
-                        zp_shifted.astype(jnp.float32).reshape(())]
-                       ).reshape(1, 2)
+                        zp_shifted.astype(jnp.float32).reshape(()),
+                        jnp.float32(clip[0]), jnp.float32(clip[1])]
+                       ).reshape(1, 4)
 
     out = pl.pallas_call(
         functools.partial(_kernel, C=C, eps=eps),
@@ -87,7 +89,7 @@ def ln_quantize(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, C), lambda b, i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2), lambda b, i: (0, 0),
+            pl.BlockSpec((1, 4), lambda b, i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, bs, C), lambda b, i: (b, i, 0),

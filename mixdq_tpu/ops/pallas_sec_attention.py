@@ -54,7 +54,8 @@ def _sec_attention_kernel(cst_ref, q_ref, k_ref, v_ref, o_ref, *, g, d, scale):
         o = jax.lax.dot_general(p.astype(v.dtype), vi, (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         o = o / l  # [Tq, d]
-        outs.append(jnp.clip(jnp.round(o * si) + zp, -128.0, 127.0))
+        outs.append(jnp.clip(jnp.round(o * si) + zp,
+                             cst_ref[2], cst_ref[3]))
     o_ref[0] = jnp.concatenate(outs, axis=1).astype(jnp.int8)
 
 
@@ -75,7 +76,7 @@ def sec_attention_ok(heads: int, head_dim: int, Tq: int, Tk: int,
 
 @functools.partial(jax.jit, static_argnames=("heads", "head_dim", "q_off",
                                              "k_off", "v_off", "scale",
-                                             "interpret"))
+                                             "interpret", "clip"))
 def sec_attention(
     q_src: jnp.ndarray,  # [B, Tq, >= q_off + heads*head_dim] bf16/f32
     k_src: jnp.ndarray,  # [B, Tk, >= k_off + heads*head_dim]
@@ -90,6 +91,7 @@ def sec_attention(
     k_off: int = 0,
     v_off: int = 0,
     interpret: bool = False,
+    clip: tuple = (-128.0, 127.0),  # act_clip_range of the to_out entry
 ) -> jnp.ndarray:
     """Fused MHA + to_out act-quantize: returns int8 codes
     [B, Tq, heads*head_dim]. q/k/v live at lane offsets ``*_off`` inside
@@ -104,7 +106,8 @@ def sec_attention(
     nj = heads // g
 
     consts = jnp.stack([jnp.asarray(scale_inv, jnp.float32).reshape(()),
-                        jnp.asarray(zp_shifted, jnp.float32).reshape(())])
+                        jnp.asarray(zp_shifted, jnp.float32).reshape(()),
+                        jnp.float32(clip[0]), jnp.float32(clip[1])])
     grid = (B, nj)
     out = pl.pallas_call(
         functools.partial(_sec_attention_kernel, g=g, d=d, scale=float(scale)),

@@ -38,15 +38,28 @@ import jax.numpy as jnp
 from jax import lax
 
 
+def act_clip_range(a_bits: int):
+    """(lo, hi) code clip bounds for a ``a_bits``-bit activation
+    quantizer living in int8 storage: A8 -> (-128, 127), A4 -> (-8, 7),
+    A2 -> (-2, 1). Sub-8-bit acts ride the SAME int8 MXU path — only the
+    saturation bounds (and the zp shift) differ, so mixed-act configs
+    keep full int8 deploy speed (the reference gates its kernels to A8
+    and leaves mixed-act layers FP, nn/Linear.py:28-43)."""
+    half = 1 << (a_bits - 1)
+    return float(-half), float(half - 1)
+
+
 def quantize_per_tensor(x: jnp.ndarray, scale_inv: jnp.ndarray,
-                        zp_shifted: jnp.ndarray) -> jnp.ndarray:
-    """fp -> int8 codes: ``clip(round(x * (1/s_a)) + (zp-128), -128, 127)``.
+                        zp_shifted: jnp.ndarray,
+                        lo: float = -128.0, hi: float = 127.0) -> jnp.ndarray:
+    """fp -> int8 codes: ``clip(round(x * (1/s_a)) + (zp-2^(b-1)), lo, hi)``.
 
     ``scale_inv``/``zp_shifted`` are 0-d arrays (traced, so one compiled
     program serves any calibration — the role device-scalar args play for
-    CUDA-graph safety in quantize_kernel_vectorized.cu:29-94)."""
+    CUDA-graph safety in quantize_kernel_vectorized.cu:29-94).
+    ``lo``/``hi``: act_clip_range(a_bits) saturation bounds."""
     codes = jnp.round(x.astype(jnp.float32) * scale_inv) + zp_shifted
-    return jnp.clip(codes, -128.0, 127.0).astype(jnp.int8)
+    return jnp.clip(codes, lo, hi).astype(jnp.int8)
 
 
 def qlinear(
@@ -120,14 +133,14 @@ def _weight_codes(w, w_delta_b, n_bits, alpha=None):
 
 
 def prepare_qlinear_params(w, w_delta, a_delta, a_zp, bias=None, n_bits=8,
-                           alpha=None):
+                           alpha=None, a_bits=8):
     """Precompute deploy-side constants for one linear layer
     (QuantizedLinear.from_float, nn/Linear.py:115-132).
 
     w: [K, N] fp; w_delta: [N]; a_delta, a_zp: scalars (a_zp unshifted,
-    as fitted: in [0, 255]). Returns dict of arrays."""
+    as fitted: in [0, 2^a_bits - 1]). Returns dict of arrays."""
     w_int = _weight_codes(w, w_delta[None, :], n_bits, alpha)
-    zp_s = (a_zp - 128.0).astype(jnp.float32)
+    zp_s = (a_zp - float(1 << (a_bits - 1))).astype(jnp.float32)
     w_sum = jnp.sum(w_int.astype(jnp.int32), axis=0)  # [N]
     return {
         "w_int": w_int,
@@ -140,10 +153,10 @@ def prepare_qlinear_params(w, w_delta, a_delta, a_zp, bias=None, n_bits=8,
 
 
 def prepare_qconv_params(w, w_delta, a_delta, a_zp, bias=None, n_bits=8,
-                         alpha=None):
+                         alpha=None, a_bits=8):
     """Same for conv, w: [kh, kw, C, K] HWIO, w_delta: [K]."""
     w_int = _weight_codes(w, w_delta[None, None, None, :], n_bits, alpha)
-    zp_s = (a_zp - 128.0).astype(jnp.float32)
+    zp_s = (a_zp - float(1 << (a_bits - 1))).astype(jnp.float32)
     w_sum = jnp.sum(w_int.astype(jnp.int32), axis=(0, 1, 2))  # [K]
     return {
         "w_int": w_int,

@@ -56,6 +56,16 @@ class DeployEntry:
     part1: Optional["DeployEntry"] = None
     kind: str = struct.field(pytree_node=False, default="linear")
     split: int = struct.field(pytree_node=False, default=0)
+    #: activation quantizer bit-width — sub-8-bit acts ride the int8 MXU
+    #: path with tighter code saturation (qops.act_clip_range); the
+    #: reference's kernels gate to A8 and leave mixed-act layers FP
+    #: (nn/Linear.py:28-43) — a correctness-equivalent TPU improvement
+    a_bits: int = struct.field(pytree_node=False, default=8)
+    #: weight-only entry (act-protected layer): acts stay FP, the int8
+    #: weights dequantize into the bf16 matmul/conv operand — matches the
+    #: simulation semantics of --act_protect (weights quantized, acts FP)
+    #: while keeping the 2x weight memory/traffic win
+    act_off: bool = struct.field(pytree_node=False, default=False)
 
 
 def build_deploy_params(
@@ -87,10 +97,9 @@ def build_deploy_params(
     for name, (w_bits, a_bits) in layer_bits.items():
         if name not in layers or name not in qparams:
             continue
-        if a_bits != 8:
-            continue  # int8 activation path only (reference gate)
+        act_off = a_bits is None  # act-protected: weight-only entry
         qp = qparams[name]
-        if qp.w_delta is None or qp.a_delta is None:
+        if qp.w_delta is None or (qp.a_delta is None and not act_off):
             continue
         node = params
         for p in layers[name]:
@@ -102,7 +111,11 @@ def build_deploy_params(
             # kernels, so deploying them costs more than it saves in
             # 'dequant' mode
             continue
-        wb_idx, ab_idx = cb.index(w_bits), cb.index(a_bits)
+        wb_idx = cb.index(w_bits)
+        # weight-only entries never quantize acts; any a params do for
+        # the (unused-at-runtime) scale_inv factorization
+        ab_idx = cb.index(8 if act_off else a_bits)
+        eff_a_bits = 8 if act_off else a_bits
         # 2-bit treated as 4 for storage/math (quantize_sdxl.py:46-48)
         eff_bits = max(w_bits, 4)
 
@@ -122,32 +135,40 @@ def build_deploy_params(
                 # crash at jit call boundaries on the axon TPU backend
                 # (recursive-jit device_put bug), hence opt-in.
                 prep["w_int"] = prep["w_int"].astype(jnp.int4)
-            return DeployEntry(kind=kind, **prep)
+            return DeployEntry(kind=kind, a_bits=eff_a_bits,
+                               act_off=act_off, **prep)
 
         alpha = alphas.get(name)
+        a_delta = qp.a_delta if qp.a_delta is not None else jnp.ones(
+            (len(cb),), jnp.float32)
+        a_zp = qp.a_zp if qp.a_zp is not None else jnp.full(
+            (len(cb),), 128.0, jnp.float32)
         if w.ndim == 2:
             deploy[name] = entry(qops.prepare_qlinear_params(
-                w, qp.w_delta[wb_idx], qp.a_delta[ab_idx],
-                qp.a_zp[ab_idx], n_bits=eff_bits, alpha=alpha), "linear")
+                w, qp.w_delta[wb_idx], a_delta[ab_idx],
+                a_zp[ab_idx], n_bits=eff_bits, alpha=alpha,
+                a_bits=eff_a_bits), "linear")
         elif w.ndim == 4:
             if name in splits and qp.w0_delta is not None:
                 s = splits[name]
                 d0 = entry(qops.prepare_qconv_params(
-                    w[:, :, :s, :], qp.w_delta[wb_idx], qp.a_delta[ab_idx],
-                    qp.a_zp[ab_idx], n_bits=eff_bits,
-                    alpha=None if alpha is None else alpha[:, :, :s, :]),
-                    "conv")
+                    w[:, :, :s, :], qp.w_delta[wb_idx], a_delta[ab_idx],
+                    a_zp[ab_idx], n_bits=eff_bits,
+                    alpha=None if alpha is None else alpha[:, :, :s, :],
+                    a_bits=eff_a_bits), "conv")
                 d1 = entry(qops.prepare_qconv_params(
                     w[:, :, s:, :], qp.w0_delta[wb_idx], qp.a0_delta[ab_idx],
                     qp.a0_zp[ab_idx], n_bits=eff_bits,
-                    alpha=None if alpha is None else alpha[:, :, s:, :]),
-                    "conv")
+                    alpha=None if alpha is None else alpha[:, :, s:, :],
+                    a_bits=eff_a_bits), "conv")
                 deploy[name] = DeployEntry(kind="conv_split", split=s,
+                                           a_bits=eff_a_bits, act_off=act_off,
                                            part0=d0, part1=d1)
             else:
                 deploy[name] = entry(qops.prepare_qconv_params(
-                    w, qp.w_delta[wb_idx], qp.a_delta[ab_idx],
-                    qp.a_zp[ab_idx], n_bits=eff_bits, alpha=alpha), "conv")
+                    w, qp.w_delta[wb_idx], a_delta[ab_idx],
+                    a_zp[ab_idx], n_bits=eff_bits, alpha=alpha,
+                    a_bits=eff_a_bits), "conv")
     if fuse_qkv:
         deploy = fuse_attention_projections(
             deploy, params, qparams, layer_bits, candidate_bits, alphas,
@@ -193,9 +214,12 @@ def fuse_attention_projections(
 
     def member_ok(n):
         # packed-W4 members are fine: the fused entry is rebuilt from
-        # qparams + fp weights, then re-packed below
+        # qparams + fp weights, then re-packed below. act_off (weight-
+        # only) members can't share int8 codes; heterogeneous member act
+        # bits would change the elected per-layer act quantizers, so the
+        # triplet only fuses when all members share the anchor's a_bits.
         e = deploy.get(n)
-        return (e is not None and e.kind == "linear"
+        return (e is not None and e.kind == "linear" and not e.act_off
                 and (e.w_int is not None or e.w_packed is not None))
 
     def get_w(n):
@@ -218,10 +242,13 @@ def fuse_attention_projections(
             continue
         if not all(member_ok(n) for n in members):
             continue
+        if len({deploy[n].a_bits for n in members}) != 1:
+            continue  # heterogeneous act bits: keep separate GEMMs
         ws = [get_w(n) for n in members]
         if any(w.ndim != 2 or w.shape[0] != ws[0].shape[0] for w in ws):
             continue
         qa = qparams[anchor]
+        fa_bits = deploy[anchor].a_bits
         ab_idx = cb.index(layer_bits[anchor][1])
         a_delta, a_zp = qa.a_delta[ab_idx], qa.a_zp[ab_idx]
         preps = []
@@ -230,10 +257,10 @@ def fuse_attention_projections(
             eff_bits = max(layer_bits[n][0], 4)
             preps.append(qops.prepare_qlinear_params(
                 w, qparams[n].w_delta[wb_idx], a_delta, a_zp,
-                n_bits=eff_bits, alpha=alphas.get(n)))
+                n_bits=eff_bits, alpha=alphas.get(n), a_bits=fa_bits))
         w_int = jnp.concatenate([p["w_int"] for p in preps], axis=1)
         entry_kw = dict(
-            kind="linear",
+            kind="linear", a_bits=fa_bits,
             scale=jnp.concatenate([p["scale"] for p in preps]),
             bias0=jnp.concatenate([p["bias0"] for p in preps]),
             scale_inv=preps[0]["scale_inv"],
@@ -296,9 +323,12 @@ def deploy_unet_ctx(unet, variables, qparams, ctrl, wq: QuantSpec,
         a_on = jax.device_get(jnp.stack([ctrl[n].a_on for n in names]))
         w_idx = jax.device_get(jnp.stack([ctrl[n].w_idx for n in names]))
         a_idx = jax.device_get(jnp.stack([ctrl[n].a_idx for n in names]))
-        layer_bits = {
-            n: (cb[int(w_idx[i])], cb[int(a_idx[i])])
-            for i, n in enumerate(names) if bool(w_on[i]) and bool(a_on[i])}
+        layer_bits = {}
+        for i, n in enumerate(names):
+            if not bool(w_on[i]):
+                continue  # weight FP -> layer stays fully FP
+            layer_bits[n] = (cb[int(w_idx[i])],
+                             cb[int(a_idx[i])] if bool(a_on[i]) else None)
     # one jitted program for the whole deploy build (794 layers of eager
     # per-layer ops would be thousands of remote dispatches)
     deploy = jax.jit(

@@ -487,3 +487,59 @@ def test_dequant_small_m_hybrid():
     s = float(sqnr(out_int8, out_h))
     assert s > 18.0, f"hybrid vs int8 SQNR too low: {s}"
     assert not jnp.allclose(out_int8, out_h)
+
+
+def test_mixed_act_bits_deploy_matches_fake_quant():
+    """A4/A2 act layers ride the int8 deploy path with tighter code
+    saturation (qops.act_clip_range) — numerics match the fake-quant
+    simulation at the same per-layer act bits. Act-protected layers
+    become weight-only (act_off) entries matching the fake path with
+    acts off. The reference gates its kernels to A8 and leaves both
+    classes FP (nn/Linear.py:28-43)."""
+    from mixdq_tpu.models.configs import TINY_SDXL_UNET
+    from mixdq_tpu.models.unet import UNet2DConditionModel
+    from mixdq_tpu.quant import calibrate as cal
+    from mixdq_tpu.quant.core import QuantSpec
+    from mixdq_tpu.quant.deploy import deploy_unet_ctx, deployed_params
+    from mixdq_tpu.quant.state import (QuantCtx, apply_bitwidth_config,
+                                       protect_layers, quantizable_layers,
+                                       uniform_ctrl)
+
+    model = UNet2DConditionModel(TINY_SDXL_UNET)
+    B = 1
+    b0 = (jax.random.normal(jax.random.PRNGKey(9), (B, 16, 16, 4)),
+          jnp.full((B,), 999.0),
+          jax.random.normal(jax.random.PRNGKey(8), (B, 77, 128)),
+          {"text_embeds": jnp.ones((B, 64)), "time_ids": jnp.ones((B, 6))})
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), *b0)
+    names = sorted(quantizable_layers(variables["params"]))
+    WQ = QuantSpec(sym=True, channel_wise=True, round_mode="nearest")
+    AQ = QuantSpec(running_stat=True)
+    qparams = cal.calibrate(model, variables, [b0], WQ, AQ)
+
+    dense = [n for n in names if "to_q" in n or "ff.net" in n]
+    a4 = {n: 4 for n in dense[:4]}
+    a2 = {n: 2 for n in dense[4:6]}
+    protected = dense[6:8]
+    ctrl = uniform_ctrl(names, w_bits=8, a_bits=8)
+    ctrl = apply_bitwidth_config(ctrl, {**a4, **a2}, "act", WQ.candidate_bits)
+    ctrl = protect_layers(ctrl, protected, "act")
+
+    fake_out = jax.jit(lambda v, qp, ct, *a: model.apply(
+        v, *a, QuantCtx(qparams=qp, ctrl=ct, mode="fake", wq=WQ, aq=AQ))
+    )(variables, qparams, ctrl, *b0)
+
+    ctx = deploy_unet_ctx(model, variables, qparams, ctrl, WQ, AQ,
+                          bos_aware=False)
+    # every mixed-act layer deploys (no FP fallback), at its elected bits
+    for n, b in {**a4, **a2}.items():
+        assert ctx.deploy[n].a_bits == b, (n, ctx.deploy[n].a_bits)
+    for n in protected:
+        assert ctx.deploy[n].act_off, n
+    pruned = deployed_params(variables, ctx)
+    assert len(quantizable_layers(pruned["params"])) == 0
+
+    int8_out = jax.jit(lambda v, c, *a: model.apply(v, *a, c))(
+        pruned, ctx, *b0)
+    s = float(sqnr(fake_out, int8_out))
+    assert s > 25.0, f"mixed-act int8 deploy vs fake-quant SQNR: {s}"

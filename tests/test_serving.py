@@ -62,3 +62,23 @@ def test_serving_engine_cfg_int8():
     imgs = eng.generate(["a cat", "a dog"], seed=3)
     assert imgs.shape == (2, 128, 128, 3)
     assert np.isfinite(imgs).all()
+
+
+def test_serving_engine_quantized_vae_mesh():
+    """dp-mesh serving with BOTH the UNet and the VAE decoder int8:
+    the vae_ctx deploy pytree shards over the mesh like the UNet's."""
+    import jax.numpy as jnp
+    from mixdq_tpu.quant.vae_quant import quantize_vae_decoder
+
+    mesh = make_mesh(8, tp=2)
+    pipe = Text2ImgPipeline("tiny-sdxl")
+    params = pipe.init_params(jax.random.PRNGKey(0))
+    z = jax.random.normal(jax.random.PRNGKey(3), (4, 16, 16, 4)) * 0.2
+    pruned_vae, vctx = quantize_vae_decoder(
+        pipe.vae, {"params": params["vae"]}, [z], deploy_compute="int8")
+    q_params = {**params, "vae": pruned_vae["params"]}
+    eng = ServingEngine(pipe, q_params, batch_size=4, steps=1,
+                        mesh=mesh, vae_ctx=vctx).compile()
+    imgs = eng.generate(["a", "b", "c", "d"], seed=1)
+    assert imgs.shape == (4, 128, 128, 3)
+    assert np.isfinite(imgs).all()
