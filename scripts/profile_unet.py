@@ -51,7 +51,9 @@ def build_runner(mode: str, family_name: str, B: int, inner: int):
     variables = jax.jit(unet.init)(jax.random.PRNGKey(0), sample, t, ehs, added)
 
     if mode == "bf16":
-        ctx, vars_used = FP_CTX, variables
+        ctx = FP_CTX.replace(attn_impl=os.environ.get("MIXDQ_PROF_ATTN",
+                                                      "auto"))
+        vars_used = variables
     else:
         from mixdq_tpu.quant.deploy import deploy_unet_ctx, deployed_params
 
@@ -66,7 +68,12 @@ def build_runner(mode: str, family_name: str, B: int, inner: int):
         ctx = deploy_unet_ctx(unet, variables, qparams, ctrl, wq, aq,
                               skip_spatial_convs=(mode == "dequant"),
                               fuse_qkv=mode.startswith("int8_fq"))
-        ctx = ctx.replace(deploy_compute=compute)
+        # attn_impl='auto' matches bench.py's headline configuration
+        # (sec_attention / flash gating); the QuantCtx default 'einsum'
+        # would profile a path the bench never runs
+        ctx = ctx.replace(deploy_compute=compute,
+                          attn_impl=os.environ.get("MIXDQ_PROF_ATTN",
+                                                   "auto"))
         vars_used = jax.device_put(deployed_params(variables, ctx))
 
     def chained(v, c, s, *rest):
