@@ -111,8 +111,12 @@ def sweep_sqnr_batched(
             "sweep_sqnr_batched takes exact layer names only (no prefix "
             f"targets — use sweep_sqnr for those); unknown: {unknown[:5]}")
     cb = list(wq.candidate_bits)
-    bit_idx = jnp.asarray([cb.index(b) if b in cb else 0 for b in bits],
-                          jnp.int32)
+    bad_bits = [b for b in bits if b not in cb]
+    if bad_bits:
+        raise ValueError(
+            f"sweep bits {bad_bits} not in candidate_bits {cb} — no "
+            "calibrated qparams exist for them")
+    bit_idx = jnp.asarray([cb.index(b) for b in bits], jnp.int32)
     is_w = which in ("weight", "both")
     is_a = which in ("act", "both")
 
@@ -175,7 +179,7 @@ def sweep_ssim_batched(
     which: str = "weight",
     bits: Sequence[int] = (2, 4, 8),
     num_steps: Optional[int] = None,
-    ssim_win: int = 255,
+    ssim_win: int = 511,
     chunk: int = 4,
 ) -> Dict[str, List[float]]:
     """Vectorized SSIM content sweep: ``chunk`` (layer, bit) control
@@ -196,8 +200,12 @@ def sweep_ssim_batched(
             "sweep_ssim_batched takes exact layer names only (no prefix "
             f"targets — use sweep_ssim for those); unknown: {unknown[:5]}")
     cb = list(wq.candidate_bits)
-    bit_idx = jnp.asarray([cb.index(b) if b in cb else 0 for b in bits],
-                          jnp.int32)
+    bad_bits = [b for b in bits if b not in cb]
+    if bad_bits:
+        raise ValueError(
+            f"sweep bits {bad_bits} not in candidate_bits {cb} — no "
+            "calibrated qparams exist for them")
+    bit_idx = jnp.asarray([cb.index(b) for b in bits], jnp.int32)
     is_w = which in ("weight", "both")
     is_a = which in ("act", "both")
 
@@ -297,12 +305,13 @@ def sweep_ssim(
     which: str = "weight",
     bits: Sequence[int] = (2, 4, 8),
     num_steps: Optional[int] = None,
-    ssim_win: int = 255,
+    ssim_win: int = 511,
 ) -> Dict[str, List[float]]:
     """SSIM sensitivity: generate images with only one layer quantized and
-    compare against the FP images (quant_content.py:218-251; the reference
-    uses win_size 511 on 512px images, we default to 255 to stay valid on
-    any image size — behavior matches for its win<=H constraint)."""
+    compare against the FP images (quant_content.py:218-251). Default
+    win_size 511 matches the reference's near-global SSIM on 512px images
+    (quant_content.py:324); smaller images clamp the window to H-1 (odd),
+    same as the reference's win<=H validity constraint."""
     fp = pipe(params, prompts, key, num_inference_steps=num_steps)
     fp_imgs = jnp.asarray(fp.images)
     win = min(ssim_win, fp_imgs.shape[1] - 1)

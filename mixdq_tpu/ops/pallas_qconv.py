@@ -103,20 +103,42 @@ def _block_vmem(bp, bk, bc, Q, Wp, HpWp, kh, kw, nc, has_res):
     return v
 
 
+def _initial_bc(C: int) -> int:
+    """The C-block _auto_config starts from (before VMEM shrinking):
+    whole C up to 1024, else the largest lane-aligned divisor <= 512
+    (falling back to whole C when no divisor >= 256 exists)."""
+    if C <= 1024:
+        return C
+    bc = _pick_div(C, 512, 128)
+    return C if bc < 256 else bc
+
+
+def _shrink_bc(bc: int, C: int, HpWp: int) -> int:
+    """Halve the C-block while its image slab exceeds the VMEM share —
+    the SAME reachability rule _auto_config applies, so the
+    ``image_fits_vmem`` gate and the kernel config can never disagree
+    (each halving step must stay a lane-aligned divisor of C)."""
+    while HpWp * bc > 9 * 1024 * 1024 and bc > 128 and bc % 2 == 0 \
+            and C % (bc // 2) == 0 and (bc // 2) % 128 == 0:
+        bc = bc // 2
+    return bc
+
+
 def image_fits_vmem(H: int, W: int, C: int, padding=(1, 1),
                     stride: int = 1) -> bool:
     """Static gate for the whole-image-resident kernel design: the padded
-    image's smallest lane-aligned C-block must fit a VMEM share. VAE
-    decode maps past ~313x313 (e.g. 512x512x128) fail and fall back to
-    the XLA s8 conv in ``models.layers.QConv``."""
+    image's smallest *halving-reachable* C-block (exactly what
+    ``_auto_config`` would pick) must fit a VMEM share. VAE decode maps
+    past ~313x313 (e.g. 512x512x128) fail and fall back to the XLA s8
+    conv in ``models.layers.QConv``."""
     ph, pw = padding if isinstance(padding, tuple) else (padding, padding)
     if stride == 2:  # s2d folds to (H/2, W/2, 4C) — same byte count
         H, W, C = (H + 2 * ph + 1) // 2, (W + 2 * pw + 1) // 2, 4 * C
         ph = pw = 0
     Hp = H + 2 * ph
     Wp = _round_up(W + 2 * pw, 8)
-    bcs = [d for d in range(128, C + 1, 128) if C % d == 0] or [C]
-    return Hp * Wp * min(bcs) <= 9 * 1024 * 1024
+    bc = _shrink_bc(_initial_bc(C), C, Hp * Wp)
+    return Hp * Wp * bc <= 9 * 1024 * 1024
 
 
 def _auto_config(kh, kw, H, P, Q, Wp, HpWp, C, K, has_res):
@@ -140,17 +162,10 @@ def _auto_config(kh, kw, H, P, Q, Wp, HpWp, C, K, has_res):
         bk = 640
     else:
         bk = _pick_div(K, 512, 128)
-    if C <= 1024:
-        bc = C
-    else:
-        bc = _pick_div(C, 512, 128)
-        if bc < 256:  # no lane-aligned divisor worth blocking on
-            bc = C
     # large feature maps (VAE decode levels, e.g. 256x256x512): the image
     # block is [Hp*Wp, bc] — shrink bc until it fits its share of VMEM
-    while HpWp * bc > 9 * 1024 * 1024 and bc > 128 and bc % 2 == 0 \
-            and C % (bc // 2) == 0 and (bc // 2) % 128 == 0:
-        bc = bc // 2
+    # (shared helper so image_fits_vmem gates the exact same config)
+    bc = _shrink_bc(_initial_bc(C), C, HpWp)
     w_bytes = kh * kw * C * K
     nc = C // bc
     cands = sorted({d for d in range(1, P + 1) if P % d == 0})

@@ -143,6 +143,13 @@ def build_deploy_params(
             (len(cb),), jnp.float32)
         a_zp = qp.a_zp if qp.a_zp is not None else jnp.full(
             (len(cb),), 128.0, jnp.float32)
+        # act-protected split convs with weight-only qparams (e.g. imported
+        # reference checkpoints) may lack a0_* act params too — same
+        # placeholder fallback as a_delta/a_zp above (unused at runtime)
+        a0_delta = qp.a0_delta if qp.a0_delta is not None else jnp.ones(
+            (len(cb),), jnp.float32)
+        a0_zp = qp.a0_zp if qp.a0_zp is not None else jnp.full(
+            (len(cb),), 128.0, jnp.float32)
         if w.ndim == 2:
             deploy[name] = entry(qops.prepare_qlinear_params(
                 w, qp.w_delta[wb_idx], a_delta[ab_idx],
@@ -157,8 +164,8 @@ def build_deploy_params(
                     alpha=None if alpha is None else alpha[:, :, :s, :],
                     a_bits=eff_a_bits), "conv")
                 d1 = entry(qops.prepare_qconv_params(
-                    w[:, :, s:, :], qp.w0_delta[wb_idx], qp.a0_delta[ab_idx],
-                    qp.a0_zp[ab_idx], n_bits=eff_bits,
+                    w[:, :, s:, :], qp.w0_delta[wb_idx], a0_delta[ab_idx],
+                    a0_zp[ab_idx], n_bits=eff_bits,
                     alpha=None if alpha is None else alpha[:, :, s:, :],
                     a_bits=eff_a_bits), "conv")
                 deploy[name] = DeployEntry(kind="conv_split", split=s,

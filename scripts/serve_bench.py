@@ -72,15 +72,22 @@ def main():
                                                          ctx.deploy)}
 
     vae_kw = {}
+    prompts = load_prompts(None, args.batch_size)
     if args.quantize_vae:
         import jax
 
         from mixdq_tpu.quant.vae_quant import quantize_vae_decoder
 
-        H = (cfg.inference.get("height") or
-             pipe.family.unet.sample_size * 8) // 8
-        lat = [jax.random.normal(jax.random.PRNGKey(7),
-                                 (args.batch_size, H, H, 4)) * 0.35]
+        # calibrate on REPRESENTATIVE latents: one FP pipeline run's
+        # sampler outputs (random-normal proxies scaled by 0.35 were ~3x
+        # too tight — real scaled latents have roughly unit std, so
+        # min-max act ranges clipped and degraded the decoded images)
+        fp_out = pipe(params, prompts, jax.random.PRNGKey(7),
+                      num_inference_steps=args.steps,
+                      height=cfg.inference.get("height"),
+                      width=cfg.inference.get("width"), decode=False)
+        lat = [fp_out.latents]
+        log(f"VAE calib latents: std={float(fp_out.latents.std()):.3f}")
         pruned_vae, vctx = quantize_vae_decoder(
             pipe.vae, {"params": params["vae"]}, lat, wq, aq,
             deploy_compute=args.vae_compute)
@@ -98,10 +105,19 @@ def main():
     eng_q = ServingEngine(pipe, q_params, ctx, **kw, **vae_kw).compile()
     log(f"int8 engine compiled in {time.time()-t0:.1f}s")
 
-    prompts = load_prompts(None, args.batch_size)
-    # warmup both
-    eng_fp.generate(prompts, seed=0)
-    eng_q.generate(prompts, seed=0)
+    # warmup both; the paired warmup images double as the quality signal
+    # (same seed -> same noise), recorded as ssim_vs_fp in the JSON
+    fp_imgs = eng_fp.generate(prompts, seed=0)
+    q_imgs = eng_q.generate(prompts, seed=0)
+    import jax.numpy as jnp
+
+    from mixdq_tpu.utils.metrics import ssim as ssim_fn
+
+    ssim_vs_fp = float(sum(
+        float(ssim_fn(jnp.asarray(fp_imgs[i]), jnp.asarray(q_imgs[i]),
+                      win_size=min(255, fp_imgs.shape[1] - 1)))
+        for i in range(len(prompts))) / len(prompts))
+    log(f"quality: mean SSIM(int8, fp) = {ssim_vs_fp:.4f}")
 
     ratios, fp_ts, q_ts = [], [], []
     for r in range(args.rounds):
@@ -128,6 +144,7 @@ def main():
         "fp_imgs_per_sec": round(args.batch_size / fp_dt, 3),
         "int8_imgs_per_sec": round(args.batch_size / q_dt, 3),
         "speedup": round(statistics.median(ratios), 3),
+        "ssim_vs_fp": round(ssim_vs_fp, 4),
     }
     print(json.dumps(out))
 
