@@ -238,7 +238,19 @@ class GEGLU(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, ctx: QuantCtx = QuantCtx()):
+    def __call__(self, x, ctx: QuantCtx = QuantCtx(), consumer_dp=None):
+        """``consumer_dp``: the downstream ff.net.2 deploy entry — when the
+        fused GEGLU kernel applies (``layers.geglu_fusable``), the proj
+        GEMM + gate + that consumer's act-quantize run as ONE Pallas call
+        and the return value is the consumer's int8 codes [..., inner]."""
+        from .layers import geglu_fusable
+
+        base = canonical_name(self.path)
+        dp_p = (ctx.deploy.get(f"{base}.proj")
+                if ctx.mode == "int8" and ctx.deploy else None)
+        if consumer_dp is not None and geglu_fusable(ctx, dp_p, consumer_dp):
+            return QDense(self.inner_dim * 2, dtype=self.dtype,
+                          name="proj")(x, ctx, geglu_out=consumer_dp)
         h = QDense(self.inner_dim * 2, dtype=self.dtype, name="proj")(x, ctx)
         h, gate = jnp.split(h, 2, axis=-1)
         # tanh-approx by default (ctx.gelu): exact erf gelu lowers to a
@@ -254,7 +266,11 @@ class FeedForward(nn.Module):
     @nn.compact
     def __call__(self, x, ctx: QuantCtx = QuantCtx()):
         inner = self.dim * self.mult
-        x = GEGLU(inner, dtype=self.dtype, name="net_0")(x, ctx)
+        base = canonical_name(self.path)
+        dp_2 = (ctx.deploy.get(f"{base}.net.2")
+                if ctx.mode == "int8" and ctx.deploy else None)
+        x = GEGLU(inner, dtype=self.dtype, name="net_0")(x, ctx,
+                                                         consumer_dp=dp_2)
         x = QDense(self.dim, dtype=self.dtype, name="net_2")(x, ctx)
         return x
 

@@ -70,6 +70,23 @@ def resolve_compute(compute: str, name: str, spatial_conv: bool = False,
     return compute
 
 
+def geglu_fusable(ctx: QuantCtx, dp_p, dp_c) -> bool:
+    """Whether the GEGLU projection + gate + consumer act-quantize can run
+    as ONE Pallas kernel (``pallas_qmatmul.geglu_qmatmul``): int8_sec
+    deploy, plain int8 linear entries on both the proj (weights unpacked,
+    acts on) and the consumer (ff.net.2) side, and the Pallas backend
+    available. Mirrors the conditions QDense's geglu_out branch needs."""
+    from ..ops import pallas_mode
+
+    return (ctx.mode == "int8" and ctx.deploy_compute == "int8_sec"
+            and not ctx.dequant_small_m
+            and dp_p is not None and dp_p.kind == "linear"
+            and dp_p.w_int is not None and not dp_p.act_off
+            and dp_c is not None and dp_c.kind == "linear"
+            and not dp_c.act_off and dp_c.scale_inv is not None
+            and pallas_mode()[0])
+
+
 def deploy_linear(x, dp, compute: str, dtype):
     """Real-quant matmul for one deploy entry (no bias, no BoS handling —
     callers layer those on top). Shared by ``QDense`` and the fused
@@ -162,7 +179,13 @@ class QDense(nn.Module):
     param_dtype: Any = None
 
     @nn.compact
-    def __call__(self, x, ctx: QuantCtx = QuantCtx(), bos_aware: bool = False):
+    def __call__(self, x, ctx: QuantCtx = QuantCtx(), bos_aware: bool = False,
+                 geglu_out=None):
+        """``geglu_out``: the downstream ff.net.2 DeployEntry — selects the
+        fused GEGLU kernel (this projection's GEMM + gate + the consumer's
+        act-quantize in one Pallas call) and makes the return value that
+        consumer's int8 codes ``[..., features // 2]``. Callers must have
+        checked ``geglu_fusable`` first."""
         name = canonical_name(self.path)
         in_features = x.shape[-1]
         pdt = self.param_dtype or self.dtype
@@ -189,6 +212,23 @@ class QDense(nn.Module):
                 assert not (bos_aware and ctx.bos_aware), name
             else:
                 x = x.astype(self.dtype)
+            if geglu_out is not None:
+                from ..ops import pallas_mode
+                from ..ops.pallas_qmatmul import geglu_qmatmul
+                from ..ops.qops import act_clip_range, quantize_per_tensor
+
+                codes = (x if pre_codes else quantize_per_tensor(
+                    x, dp.scale_inv, dp.zp_shifted,
+                    *act_clip_range(dp.a_bits)))
+                lead = codes.shape[:-1]
+                out = geglu_qmatmul(
+                    codes.reshape(-1, codes.shape[-1]), dp.w_int, dp.scale,
+                    dp.bias0, geglu_out.scale_inv, geglu_out.zp_shifted,
+                    bias=None if bias is None else bias.astype(jnp.float32),
+                    gelu_tanh=(ctx.gelu == "tanh"),
+                    clip=act_clip_range(geglu_out.a_bits),
+                    interpret=pallas_mode()[1])
+                return out.reshape(*lead, out.shape[-1])
             rc = resolve_compute(ctx.deploy_compute, name)
             if dp.act_off:
                 # act-protected layer: weight-only (acts stay FP) — the

@@ -286,6 +286,132 @@ def qmatmul_fused2(
     return out[:M, :N]
 
 
+# ---------------------------------------------------------------------------
+# Fused GEGLU feed-forward: int8 GEMM + gate + consumer act-quantize
+# ---------------------------------------------------------------------------
+
+
+def _geglu_kernel(x_ref, wv_ref, wg_ref, qc_ref, sv_ref, b0v_ref, sg_ref,
+                  b0g_ref, bv_ref, bg_ref, o_ref, *, gelu_tanh):
+    """One grid step computes BOTH GEMM halves of one output block of the
+    GEGLU projection (value columns j, gate columns H+j), applies the
+    dequant epilogues, the gate ``v * gelu(g)``, and emits the DOWNSTREAM
+    (ff.net.2) layer's int8 act codes. The [M, 2H] bf16 projection output
+    never exists: the unfused path writes it (5.2 MB at the 256-token
+    level), re-reads it in the gate+quantize fusion, and writes the codes
+    — all deleted here. qc = [scale_inv, zp_shifted, clip_lo, clip_hi] of
+    the consumer's act quantizer (SMEM)."""
+    accv = jax.lax.dot_general(
+        x_ref[:], wv_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    accg = jax.lax.dot_general(
+        x_ref[:], wg_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    v = (accv - b0v_ref[:].astype(jnp.int32)).astype(jnp.float32) * sv_ref[:]
+    g = (accg - b0g_ref[:].astype(jnp.int32)).astype(jnp.float32) * sg_ref[:]
+    if bv_ref is not None:
+        v = v + bv_ref[:]
+        g = g + bg_ref[:]
+    y = v * jax.nn.gelu(g, approximate=gelu_tanh)
+    codes = jnp.round(y * qc_ref[0]) + qc_ref[1]
+    o_ref[:] = jnp.clip(codes, qc_ref[2], qc_ref[3]).astype(jnp.int8)
+
+
+def _geglu_kernel_nobias(x_ref, wv_ref, wg_ref, qc_ref, sv_ref, b0v_ref,
+                         sg_ref, b0g_ref, o_ref, *, gelu_tanh):
+    _geglu_kernel(x_ref, wv_ref, wg_ref, qc_ref, sv_ref, b0v_ref, sg_ref,
+                  b0g_ref, None, None, o_ref, gelu_tanh=gelu_tanh)
+
+
+@functools.partial(jax.jit, static_argnames=("bm", "bn", "out_dtype",
+                                             "gelu_tanh", "clip",
+                                             "interpret"))
+def geglu_qmatmul(
+    x_int8: jnp.ndarray,  # [M, K] int8 codes of the proj layer
+    w_int8: jnp.ndarray,  # [K, 2H] int8 (value cols [:H], gate cols [H:])
+    scale: jnp.ndarray,  # [2H] f32 = s_w * s_a of the proj layer
+    bias0: jnp.ndarray,  # [2H] f32 = zp_s * sum_K w
+    out_scale_inv: jnp.ndarray,  # 0-d: 1/s_a of the CONSUMER (ff.net.2)
+    out_zp_shifted: jnp.ndarray,  # 0-d: consumer zp - 128
+    bias: Optional[jnp.ndarray] = None,  # [2H] f32 proj bias
+    bm: int = 256,
+    bn: int = 640,
+    gelu_tanh: bool = True,
+    clip: tuple = (-128.0, 127.0),
+    out_dtype=jnp.int8,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """W8A8 GEGLU projection with fused gate + consumer act-quantize:
+    returns the ff.net.2 input codes s8 [M, H] directly.
+
+    TPU counterpart of the reference's FF chain, which runs proj GEMM,
+    a separate chunk+gelu+mul, and the next layer's quantize kernel as
+    distinct launches (nn/Linear.py:154-177 + torch eager gelu). K rides
+    whole per grid step (SDXL FF proj K <= 1280)."""
+    M, K = x_int8.shape
+    K2, N2 = w_int8.shape
+    assert K == K2 and N2 % 2 == 0
+    H = N2 // 2
+    Kp = _round_up(K, 128)
+    bm = _fit_block(M, bm, 32 if M < 128 else 128)
+    bn = _fit_block(H, bn)
+    Mp, Hp = _round_up(M, bm), _round_up(H, bn)
+    if (Mp, Kp) != (M, K):
+        # zero codes x zero w-rows contribute 0; bias0 covers real rows
+        x_int8 = jnp.pad(x_int8, ((0, Mp - M), (0, Kp - K)))
+    if Hp != H or Kp != K:
+        # pad each half separately so the halves stay at offsets 0 / Hp
+        wv = jnp.pad(w_int8[:, :H], ((0, Kp - K), (0, Hp - H)))
+        wg = jnp.pad(w_int8[:, H:], ((0, Kp - K), (0, Hp - H)))
+        w_int8 = jnp.concatenate([wv, wg], axis=1)
+        pad1 = lambda a: jnp.pad(a.reshape(2, H), ((0, 0), (0, Hp - H)))\
+            .reshape(-1)
+        scale = pad1(scale)
+        bias0 = pad1(bias0)
+        if bias is not None:
+            bias = pad1(bias)
+
+    qc = jnp.stack([jnp.asarray(out_scale_inv, jnp.float32).reshape(()),
+                    jnp.asarray(out_zp_shifted, jnp.float32).reshape(()),
+                    jnp.float32(clip[0]), jnp.float32(clip[1])])
+    nj = Hp // bn
+    grid = (Mp // bm, nj)
+    vspec = lambda off: pl.BlockSpec((1, bn), lambda i, j: (0, off + j),
+                                     memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((bm, Kp), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((Kp, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((Kp, bn), lambda i, j: (0, nj + j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        vspec(0), vspec(0), vspec(nj), vspec(nj),
+    ]
+    args = [x_int8, w_int8, w_int8, qc,
+            scale.reshape(1, -1), bias0.reshape(1, -1),
+            scale.reshape(1, -1), bias0.reshape(1, -1)]
+    if bias is not None:
+        in_specs += [vspec(0), vspec(nj)]
+        args += [bias.reshape(1, -1), bias.reshape(1, -1)]
+        kern = functools.partial(_geglu_kernel, gelu_tanh=gelu_tanh)
+    else:
+        kern = functools.partial(_geglu_kernel_nobias, gelu_tanh=gelu_tanh)
+
+    out = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Mp, Hp), out_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * Mp * Hp * Kp,
+            bytes_accessed=Mp * Kp + 2 * Kp * Hp + Mp * Hp,
+            transcendentals=Mp * Hp),
+        interpret=interpret,
+    )(*args)
+    return out[:M, :H]
+
+
 @functools.partial(jax.jit, static_argnames=("bm", "bn", "bk", "out_dtype",
                                              "interpret"))
 def qmatmul_fused(

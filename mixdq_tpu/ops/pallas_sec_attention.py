@@ -41,7 +41,7 @@ def _sec_attention_kernel(cst_ref, q_ref, k_ref, v_ref, o_ref, *, g, d, scale):
     k = k_ref[0]  # [Tk, g*d]
     v = v_ref[0]
     outs = []
-    for i in range(g):
+    for i in range(g):  # g = heads per grid step (hpp 128-lane blocks)
         qi = jax.lax.slice_in_dim(q, i * d, (i + 1) * d, axis=1)
         ki = jax.lax.slice_in_dim(k, i * d, (i + 1) * d, axis=1)
         vi = jax.lax.slice_in_dim(v, i * d, (i + 1) * d, axis=1)
@@ -105,23 +105,44 @@ def sec_attention(
     g = 128 // d
     nj = heads // g
 
+    # hpp = 128-lane head blocks per grid step. Per-grid-step fixed costs
+    # (DMA waits, Mosaic prologue) dominate at small T — at T=256 the
+    # whole attention is ~3 us of compute but ran as 10 grid steps of
+    # ~1 us overhead each (measured 10.4 us/call, r4 profile). Batch as
+    # many head blocks per step as VMEM allows; block-index addressing
+    # needs every lane offset to stay block-aligned.
+    def vmem_est(h):
+        w = 128 * h
+        return (2 * 2 * w * (Tq + 2 * Tk)     # q/k/v blocks, double-buffered
+                + 2 * Tq * w                  # s8 out block (x2)
+                + 8 * Tq * Tk + 2 * Tq * w * 4)  # logits f32 s/p + out f32
+    hpp = 1
+    for h in range(nj, 0, -1):
+        if nj % h == 0 and vmem_est(h) <= 10 * 1024 * 1024 \
+                and all(off % (128 * h) == 0
+                        for off in (q_off, k_off, v_off)):
+            hpp = h
+            break
+    W = 128 * hpp
+
     consts = jnp.stack([jnp.asarray(scale_inv, jnp.float32).reshape(()),
                         jnp.asarray(zp_shifted, jnp.float32).reshape(()),
                         jnp.float32(clip[0]), jnp.float32(clip[1])])
-    grid = (B, nj)
+    grid = (B, nj // hpp)
     out = pl.pallas_call(
-        functools.partial(_sec_attention_kernel, g=g, d=d, scale=float(scale)),
+        functools.partial(_sec_attention_kernel, g=g * hpp, d=d,
+                          scale=float(scale)),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, Tq, 128), lambda b, j: (b, 0, q_off // 128 + j),
+            pl.BlockSpec((1, Tq, W), lambda b, j: (b, 0, q_off // W + j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Tk, 128), lambda b, j: (b, 0, k_off // 128 + j),
+            pl.BlockSpec((1, Tk, W), lambda b, j: (b, 0, k_off // W + j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Tk, 128), lambda b, j: (b, 0, v_off // 128 + j),
+            pl.BlockSpec((1, Tk, W), lambda b, j: (b, 0, v_off // W + j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, Tq, 128), lambda b, j: (b, 0, j),
+        out_specs=pl.BlockSpec((1, Tq, W), lambda b, j: (b, 0, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, Tq, heads * d), jnp.int8),
         cost_estimate=pl.CostEstimate(

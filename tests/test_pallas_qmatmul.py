@@ -167,3 +167,59 @@ def test_qmatmul_fused2_act_quantize():
                             jnp.asarray(bias0), out_dtype=jnp.float32)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=0.05, atol=1.0)
+
+
+@pytest.mark.parametrize("M,K,H,bias", [(64, 128, 256, True),
+                                        (100, 320, 640, False)])
+def test_geglu_qmatmul_matches_unfused(M, K, H, bias):
+    """Fused GEGLU kernel == qlinear + split + gelu + quantize chain."""
+    import jax
+
+    from mixdq_tpu.ops.pallas_qmatmul import geglu_qmatmul
+    from mixdq_tpu.ops.qops import qlinear, quantize_per_tensor
+
+    rng = np.random.RandomState(2)
+    x = rng.randint(-128, 128, (M, K)).astype(np.int8)
+    w = rng.randint(-128, 128, (K, 2 * H)).astype(np.int8)
+    scale = (rng.rand(2 * H).astype(np.float32) + 0.1) * 1e-4
+    zp_s = np.float32(-7.0)
+    bias0 = zp_s * w.astype(np.int64).sum(0).astype(np.float32)
+    b = rng.randn(2 * H).astype(np.float32) * 0.01 if bias else None
+    out_si = jnp.float32(37.0)
+    out_zp = jnp.float32(3.0)
+
+    got = geglu_qmatmul(jnp.asarray(x), jnp.asarray(w), jnp.asarray(scale),
+                        jnp.asarray(bias0), out_si, out_zp,
+                        bias=None if b is None else jnp.asarray(b),
+                        bm=32, bn=128, gelu_tanh=True, interpret=True)
+
+    y = qlinear(jnp.asarray(x), jnp.asarray(w), jnp.asarray(scale),
+                jnp.asarray(bias0),
+                bias=None if b is None else jnp.asarray(b),
+                out_dtype=jnp.float32)
+    v, g = jnp.split(y, 2, axis=-1)
+    ref = v * jax.nn.gelu(g, approximate=True)
+    want = quantize_per_tensor(ref, out_si, out_zp)
+    # f32-exact epilogues; allow off-by-one codes at round boundaries
+    diff = np.abs(np.asarray(got, np.int32) - np.asarray(want, np.int32))
+    assert (diff <= 1).all() and (diff == 0).mean() > 0.99, diff.max()
+
+
+def test_geglu_fusable_gating():
+    from mixdq_tpu.models.layers import geglu_fusable
+    from mixdq_tpu.quant.deploy import DeployEntry
+    from mixdq_tpu.quant.state import QuantCtx
+
+    dp = DeployEntry(kind="linear", w_int=jnp.zeros((4, 4), jnp.int8),
+                     scale_inv=jnp.float32(1.0))
+    ctx = QuantCtx(mode="int8", deploy={"x": dp})
+    ctx = ctx.replace(deploy_compute="int8_sec")
+    import os
+    os.environ["MIXDQ_PALLAS_INTERPRET"] = "1"
+    try:
+        assert geglu_fusable(ctx, dp, dp)
+        assert not geglu_fusable(ctx, dp, dp.replace(act_off=True))
+        assert not geglu_fusable(ctx, None, dp)
+        assert not geglu_fusable(ctx.replace(deploy_compute="int8"), dp, dp)
+    finally:
+        del os.environ["MIXDQ_PALLAS_INTERPRET"]
