@@ -1,0 +1,210 @@
+"""Loaders + validation for the reference's REAL mixed-precision artifacts.
+
+The reference ships *measured* per-layer sensitivity data from real
+SDXL-Turbo weights (mixed_precision_scripts/sensitivity_log/sdxl_turbo/
+{weight,act}/{ssim,sqnr}/*/sensitivity.yaml — [s2, s4, s8] per layer),
+the hand-picked act-protect list
+(mixed_percision_config/sdxl_turbo/final_config/act/act_sensitivie_a8_1%.pt,
+a torch-saved python list consumed at quant_inference_mp.py:239-241),
+the tensor-size ratio configs (optimize/tensor_ratio/sdxl_turbo/
+{weight,act}_ratio_config.yaml) and the elected final configs
+(final_config/weight/weight_{3.66,4.00,4.08,5.02,8.00}.yaml,
+final_config/act/act_{7.38,7.77,7.84,8.00}.yaml).
+
+This module loads them into the repo's name space (the reference
+prefixes every layer with ``model.``; stripping it yields a 1:1 match
+with our 794 canonical layer names) and re-runs OUR MILP allocation
+(mixed_precision/ilp.py, scipy-HiGHS) at the reference's published
+operating points so the allocator is validated on real numbers without
+needing model weights. The group-budget math mirrors the reference's
+``get_mean_bit`` parameterization exactly (integer_programming.py:25-32):
+``avg_sqnr = avg * (1 + r) / (k * r + 1); avg_ssim = k * avg_sqnr`` with
+``r = size_content / size_quality``.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+
+import yaml
+
+from .ilp import allocate_bits
+
+#: default artifact root (the read-only reference checkout)
+REFERENCE_MP_DIR = "/root/reference/mixed_precision_scripts"
+
+
+def _strip(name: str) -> str:
+    return name[len("model."):] if name.startswith("model.") else name
+
+
+def load_sensitivity_yaml(path: str) -> Dict[str, List[float]]:
+    """{layer: [s2, s4, s8]} with the ``model.`` prefix stripped."""
+    with open(path) as f:
+        raw = yaml.safe_load(f)
+    return {_strip(k): [float(x) for x in v] for k, v in raw.items()}
+
+
+def load_ratio_config(path: str) -> Dict[str, float]:
+    """Per-layer tensor-size weights (optimize/tensor_ratio/*)."""
+    with open(path) as f:
+        raw = yaml.safe_load(f)
+    return {_strip(k): float(v) for k, v in raw.items()}
+
+
+def load_final_config(path: str) -> Dict[str, int]:
+    """A published final bit config ({layer: bits})."""
+    with open(path) as f:
+        raw = yaml.safe_load(f)
+    return {_strip(k): int(v) for k, v in raw.items()}
+
+
+def load_act_protect_pt(path: str) -> List[str]:
+    """Load the reference's torch-saved act-protect layer list
+    (``act_sensitivie_a8_1%.pt`` — a plain python list of module names,
+    consumed at quant_inference_mp.py:239-241) into our name space.
+
+    Requires torch only for the unpickle; the artifact holds no tensors.
+    """
+    import torch
+
+    names = torch.load(path, map_location="cpu", weights_only=False)
+    if not isinstance(names, (list, tuple)):
+        raise ValueError(
+            f"act-protect artifact {path} is {type(names).__name__}, "
+            "expected a list of layer names")
+    return [_strip(str(n)) for n in names]
+
+
+def load_act_protect(path: str) -> List[str]:
+    """Act-protect list from either the reference's ``.pt`` or the repo's
+    YAML list format (scripts/quant_txt2img.py --act_protect)."""
+    if path.endswith(".pt"):
+        return load_act_protect_pt(path)
+    with open(path) as f:
+        raw = yaml.safe_load(f)
+    if isinstance(raw, dict):  # {name: anything} maps also accepted
+        raw = list(raw)
+    return [_strip(str(n)) for n in raw]
+
+
+def is_content_layer(name: str) -> bool:
+    """The reference's metric split predicate — substring containment
+    (integer_programming.py:39-43: ``'ff' in key or 'attn2' in key``)."""
+    return "ff" in name or "attn2" in name
+
+
+def reference_budget_split(size_ratio: float, k: float,
+                           avg_bits: float) -> Tuple[float, float]:
+    """``get_mean_bit`` parity (integer_programming.py:25-32). Returns
+    (quality_avg_bits, content_avg_bits); ``size_ratio`` =
+    size_content / size_quality."""
+    avg_q = avg_bits * (1.0 + size_ratio) / (k * size_ratio + 1.0)
+    return avg_q, k * avg_q
+
+
+def group_avg_bits(config: Dict[str, int], ratio: Dict[str, float],
+                   layers: Iterable[str]) -> float:
+    """Size-weighted average bits of ``config`` over ``layers``."""
+    num = den = 0.0
+    for n in layers:
+        num += ratio[n] * config[n]
+        den += ratio[n]
+    return num / den if den else 0.0
+
+
+def solve_reference_point(
+    sens_ssim: Dict[str, List[float]],
+    sens_sqnr: Dict[str, List[float]],
+    ratio: Dict[str, float],
+    avg_content: float,
+    avg_quality: float,
+    protect: Sequence[str] = (),
+    bits_content: Sequence[int] = (2, 4, 8),
+    bits_quality: Sequence[int] = (4, 8),
+) -> Optional[Dict[str, int]]:
+    """One metric-decoupled solve at explicit group budgets, mirroring the
+    reference's two SCIP solves (integer_programming.py:34-107 weight,
+    :113-190 act): content group = ff/attn2 layers from the SSIM log with
+    bits {2,4,8}; quality group = the rest from the SQNR log with bits
+    {4,8} (sensitivity rows are [s2,s4,s8]; index log2(b)-1). ``protect``
+    layers are excluded from both solves (they stay FP — the act path's
+    act_sensitivity_*_1 exclusion, :128-133)."""
+    protect = set(protect)
+    sc = {n: v for n, v in sens_ssim.items()
+          if is_content_layer(n) and n not in protect}
+    sq = {n: [v[int(math.log2(b)) - 1] for b in bits_quality]
+          for n, v in sens_sqnr.items()
+          if not is_content_layer(n) and n not in protect}
+    alloc_c = allocate_bits(sc, ratio, avg_content, bits_content)
+    alloc_q = allocate_bits(sq, ratio, avg_quality, bits_quality)
+    if alloc_c is None or alloc_q is None:
+        return None
+    return {**alloc_q, **alloc_c}
+
+
+def compare_configs(ours: Dict[str, int], ref: Dict[str, int],
+                    ratio: Dict[str, float]) -> Dict[str, float]:
+    """Per-layer agreement between two bit configs over their common
+    layers: exact-match fraction, size-weighted match fraction, and both
+    sides' size-weighted average bits."""
+    common = sorted(set(ours) & set(ref))
+    if not common:
+        return {"n_common": 0, "agree": 0.0, "agree_weighted": 0.0}
+    match = [n for n in common if ours[n] == ref[n]]
+    wtot = sum(ratio[n] for n in common)
+    wmatch = sum(ratio[n] for n in match)
+    return {
+        "n_common": len(common),
+        "n_match": len(match),
+        "agree": len(match) / len(common),
+        "agree_weighted": wmatch / wtot if wtot else 0.0,
+        "ours_avg_bits": group_avg_bits(ours, ratio, common),
+        "ref_avg_bits": group_avg_bits(ref, ratio, common),
+    }
+
+
+def validate_published_point(
+    which: str,  # 'weight' | 'act'
+    final_config_path: str,
+    mp_dir: str = REFERENCE_MP_DIR,
+    protect: Sequence[str] = (),
+) -> Dict[str, object]:
+    """Validate our allocator against one published final config.
+
+    Derives the config's ACHIEVED per-group budgets (the election picked
+    one (bit, k) grid candidate; its group budgets are recoverable from
+    the config itself + the size ratios), re-solves our MILP at exactly
+    those budgets on the real sensitivity logs, and reports per-layer
+    agreement. Returns {point, budgets, comparison, config}."""
+    sens_ssim = load_sensitivity_yaml(os.path.join(
+        mp_dir, f"sensitivity_log/sdxl_turbo/{which}/ssim",
+        f"bs32_split_ssim_{which}", "sensitivity.yaml"))
+    sens_sqnr = load_sensitivity_yaml(os.path.join(
+        mp_dir, f"sensitivity_log/sdxl_turbo/{which}/sqnr",
+        f"bs32_split_sqnr_{which}", "sensitivity.yaml"))
+    ratio = load_ratio_config(os.path.join(
+        mp_dir, f"optimize/tensor_ratio/sdxl_turbo/{which}_ratio_config.yaml"))
+    ref_cfg = load_final_config(final_config_path)
+
+    protect = set(protect)
+    content = [n for n in ref_cfg
+               if is_content_layer(n) and n not in protect]
+    quality = [n for n in ref_cfg
+               if not is_content_layer(n) and n not in protect]
+    avg_c = group_avg_bits(ref_cfg, ratio, content)
+    avg_q = group_avg_bits(ref_cfg, ratio, quality)
+    ours = solve_reference_point(sens_ssim, sens_sqnr, ratio, avg_c, avg_q,
+                                 protect=protect)
+    comparison = (compare_configs(ours, ref_cfg, ratio)
+                  if ours is not None else None)
+    return {
+        "which": which,
+        "point": os.path.basename(final_config_path),
+        "avg_content_bits": avg_c,
+        "avg_quality_bits": avg_q,
+        "comparison": comparison,
+        "config": ours,
+    }

@@ -62,8 +62,10 @@ def build_quant_ctx(cfg, pipe, params, qparams, args):
         with open(args.config_weight_mp) as f:
             ctrl = apply_bitwidth_config(ctrl, yaml.safe_load(f), "weight", cb)
     if args.act_protect:
-        with open(args.act_protect) as f:
-            ctrl = protect_layers(ctrl, yaml.safe_load(f), "act")
+        # YAML list (repo format) or the reference's torch-saved .pt
+        # (act_sensitivie_a8_1%.pt, quant_inference_mp.py:239-241)
+        from mixdq_tpu.mixed_precision.reference_data import load_act_protect
+        ctrl = protect_layers(ctrl, load_act_protect(args.act_protect), "act")
     if args.config_act_mp:
         with open(args.config_act_mp) as f:
             ctrl = apply_bitwidth_config(ctrl, yaml.safe_load(f), "act", cb)
@@ -81,7 +83,8 @@ def main():
     ap.add_argument("--config_weight_mp", default=None)
     ap.add_argument("--config_act_mp", default=None)
     ap.add_argument("--act_protect", default=None,
-                    help="yaml list of layer names kept FP for acts")
+                    help="layer names kept FP for acts: yaml list or the "
+                         "reference's torch-saved .pt list")
     ap.add_argument("--prompt", default=None)
     ap.add_argument("--n_images", type=int, default=4)
     ap.add_argument("--batch_size", type=int, default=2)
