@@ -11,8 +11,12 @@ Reference: mixed_precision_scripts/get_sensitivity/sdxl_turbo/
 
 The reference re-runs Python module surgery per (layer, bit); here the
 per-layer controls are jit *arguments* (solo_layer_ctrl), so the whole
-sweep reuses ONE compiled UNet — |layers| x |bits| device calls, which
-also data-parallelize trivially over a dp mesh.
+sweep reuses ONE compiled UNet — |layers| x |bits| device calls. The
+batched sweeps additionally accept a ``mesh``: sweep points are a batch
+axis, so sharding the (layer, bit) index vectors over ``dp`` while
+params/qparams ride replicated data-parallelizes the sweep across the
+slice with zero algorithm change (each point's compute is untouched —
+results match the single-device path).
 """
 
 from __future__ import annotations
@@ -96,12 +100,19 @@ def sweep_sqnr_batched(
     which: str = "weight",
     bits: Sequence[int] = (2, 4, 8),
     chunk: int = 8,
+    mesh=None,
 ) -> Dict[str, List[float]]:
     """Vectorized sweep: stacks ``chunk`` (layer, bit) control configs and
     evaluates them in ONE vmapped forward — the controls are pytree data,
     so sweep points become a batch axis (TPU-idiomatic replacement for the
     reference's |layers| x |bits| sequential full runs,
-    quant_quality.py:275-301). Memory scales with ``chunk``."""
+    quant_quality.py:275-301). Memory scales with ``chunk``.
+
+    ``mesh``: optional ``jax.sharding.Mesh`` with a ``dp`` axis — the
+    point index vectors shard over dp (chunk rounds up to a dp multiple)
+    and params/qparams/calib ride replicated, so the chunk's points run
+    dp-way data-parallel. Per-point compute is unchanged, so results
+    match the single-device sweep."""
     points = [(n, b) for n in layer_names for b in bits]
     names = list(all_names)
     pos = {n: j for j, n in enumerate(names)}
@@ -128,8 +139,7 @@ def sweep_sqnr_batched(
     # (~3200 puts, ~35 s/chunk over the remote-TPU tunnel); this form
     # costs two. variables/qparams/fp_outputs ride as jit args, not
     # closure constants (multi-GB lowering otherwise).
-    @jax.jit
-    def run_chunk(variables, qparams, fp_outputs, li, bi, *batch):
+    def _run_chunk(variables, qparams, fp_outputs, li, bi, *batch):
         def one(l, b):
             idx = bit_idx[b]
             z = jnp.int32(0)
@@ -148,12 +158,44 @@ def sweep_sqnr_batched(
 
         return jax.vmap(one)(li, bi)
 
+    point_sharding = None
+    if mesh is None:
+        run_chunk = jax.jit(_run_chunk)
+    else:
+        # dp-parallel sweep via shard_map: each device runs the plain
+        # single-device vmapped program on its chunk/dp local points
+        # (params/qparams replicated, no collectives) — per-point
+        # numerics are the single-device program's by construction,
+        # unlike GSPMD propagation which repartitions the UNet body.
+        from jax import shard_map
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        dp = mesh.shape["dp"]
+        chunk = -(-chunk // dp) * dp  # round up to a dp multiple
+        point_sharding = NamedSharding(mesh, P("dp"))
+        repl = NamedSharding(mesh, P())
+        variables, qparams, fp_outputs, calib_batch = jax.device_put(
+            (variables, qparams, fp_outputs, calib_batch), repl)
+
+        def _spec_like(tree):
+            return jax.tree_util.tree_map(lambda _: P(), tree)
+
+        run_chunk = jax.jit(shard_map(
+            _run_chunk, mesh=mesh,
+            in_specs=(_spec_like(variables), _spec_like(qparams), P(),
+                      P("dp"), P("dp"))
+            + tuple(_spec_like(b) for b in calib_batch),
+            out_specs=P("dp"), check_vma=False))
+
     vals: List[float] = []
     for i in range(0, len(points), chunk):
         grp = points[i : i + chunk]
         pad = grp + [grp[-1]] * (chunk - len(grp))  # single compiled shape
         li = jnp.asarray([pos[n] for n, _ in pad], jnp.int32)
         bi = jnp.asarray([bits.index(b) for _, b in pad], jnp.int32)
+        if point_sharding is not None:
+            li = jax.device_put(li, point_sharding)
+            bi = jax.device_put(bi, point_sharding)
         out = run_chunk(variables, qparams, fp_outputs, li, bi,
                         *calib_batch)
         vals.extend([float(v) for v in out[: len(grp)]])
@@ -181,13 +223,15 @@ def sweep_ssim_batched(
     num_steps: Optional[int] = None,
     ssim_win: int = 511,
     chunk: int = 4,
+    mesh=None,
 ) -> Dict[str, List[float]]:
     """Vectorized SSIM content sweep: ``chunk`` (layer, bit) control
     points run through ONE vmapped pipeline program (denoise scan + VAE
     decode + SSIM all in-jit) — the content-sweep counterpart of
     ``sweep_sqnr_batched`` (the reference runs |layers| x 3 sequential
     full generations, quant_content.py:193-251). Exact layer names only;
-    prefix targets go through ``sweep_ssim``."""
+    prefix targets go through ``sweep_ssim``. ``mesh``: optional dp mesh
+    — sweep points shard over dp (see ``sweep_sqnr_batched``)."""
     from ..pipelines import samplers
     from ..quant.state import LayerCtrl
 
@@ -244,9 +288,8 @@ def sweep_ssim_batched(
 
     # ctrl pytrees are built INSIDE jit from two scalars per point (see
     # sweep_sqnr_batched for why); params/qparams/fp_imgs ride as jit args
-    @jax.jit
-    def run_chunk(params, qparams, fp_imgs, li, bi, embeds, added, latents,
-                  neg_e, neg_a, k):
+    def _run_chunk(params, qparams, fp_imgs, li, bi, embeds, added, latents,
+                   neg_e, neg_a, k):
         schedule = (samplers.make_euler_schedule(steps) if f.is_sdxl
                     else samplers.make_lcm_schedule(steps))
 
@@ -274,12 +317,44 @@ def sweep_ssim_batched(
 
         return jax.vmap(one)(li, bi)
 
+    point_sharding = None
+    if mesh is None:
+        run_chunk = jax.jit(_run_chunk)
+    else:
+        # shard_map over dp (see sweep_sqnr_batched: each device runs the
+        # plain single-device program on its local points — numerics match
+        # the unsharded sweep by construction)
+        from jax import shard_map
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        dp = mesh.shape["dp"]
+        chunk = -(-chunk // dp) * dp
+        point_sharding = NamedSharding(mesh, P("dp"))
+        repl = NamedSharding(mesh, P())
+        (params, qparams, fp_imgs, embeds, added, latents, neg_e, neg_a,
+         k_lcm) = jax.device_put(
+            (params, qparams, fp_imgs, embeds, added, latents, neg_e,
+             neg_a, k_lcm), repl)
+
+        def _spec_like(tree):
+            return jax.tree_util.tree_map(lambda _: P(), tree)
+
+        run_chunk = jax.jit(shard_map(
+            _run_chunk, mesh=mesh,
+            in_specs=(_spec_like(params), _spec_like(qparams), P(),
+                      P("dp"), P("dp"), P(), _spec_like(added), P(),
+                      _spec_like(neg_e), _spec_like(neg_a), P()),
+            out_specs=P("dp"), check_vma=False))
+
     vals: List[float] = []
     for i in range(0, len(points), chunk):
         grp = points[i : i + chunk]
         pad = grp + [grp[-1]] * (chunk - len(grp))  # single compiled shape
         li = jnp.asarray([pos[n] for n, _ in pad], jnp.int32)
         bi = jnp.asarray([bits.index(b) for _, b in pad], jnp.int32)
+        if point_sharding is not None:
+            li = jax.device_put(li, point_sharding)
+            bi = jax.device_put(bi, point_sharding)
         out = run_chunk(params, qparams, fp_imgs, li, bi, embeds, added,
                         latents, neg_e, neg_a, k_lcm)
         vals.extend([float(v) for v in out[: len(grp)]])

@@ -21,8 +21,15 @@ import jax
 import jax.numpy as jnp
 
 
-def unet_mem(family, B, quant=None, w_bits=8):
-    """Returns (static_mb, dynamic_mb, peak_mb) for one UNet forward."""
+def unet_mem(family, B, quant=None, w_bits=8, pack_w4=False, mp_w=None,
+             mp_a=None, act_protect=None):
+    """Returns (static_mb, dynamic_mb, peak_mb) for one UNet forward.
+
+    ``pack_w4`` keeps W<=4 weights halves-packed RESIDENT (the pallas
+    wq4 route under compute='dequant'; int8 computes would unpack
+    in-graph) — the static-memory operating point of the paper's 3.4x
+    W4A8 claim (reference README.md:28). ``mp_w``/``mp_a``/``act_protect``
+    apply elected mixed-precision YAMLs before deploy."""
     from mixdq_tpu.models.configs import get_family
     from mixdq_tpu.models.unet import UNet2DConditionModel
     from mixdq_tpu.quant import calibrate as cal
@@ -55,7 +62,27 @@ def unet_mem(family, B, quant=None, w_bits=8):
         qparams = cal.calibrate(unet, variables, [(sample, t, ehs, added)],
                                 wq, aq)
         ctrl = uniform_ctrl(names, w_bits=w_bits, a_bits=8)
-        ctx = deploy_unet_ctx(unet, variables, qparams, ctrl, wq, aq)
+        if mp_w or mp_a or act_protect:
+            import yaml
+
+            from mixdq_tpu.quant.state import (apply_bitwidth_config,
+                                               protect_layers)
+            cb = wq.candidate_bits
+            if mp_w:
+                with open(mp_w) as fh:
+                    ctrl = apply_bitwidth_config(ctrl, yaml.safe_load(fh),
+                                                 "weight", cb)
+            if act_protect:
+                from mixdq_tpu.mixed_precision.reference_data import (
+                    load_act_protect)
+                ctrl = protect_layers(ctrl, load_act_protect(act_protect),
+                                      "act")
+            if mp_a:
+                with open(mp_a) as fh:
+                    ctrl = apply_bitwidth_config(ctrl, yaml.safe_load(fh),
+                                                 "act", cb)
+        ctx = deploy_unet_ctx(unet, variables, qparams, ctrl, wq, aq,
+                              pack_w4=pack_w4)
         ctx = ctx.replace(deploy_compute=quant)
         variables = jax.device_put(deployed_params(variables, ctx))
 
@@ -83,19 +110,55 @@ def main():
     ap.add_argument("--family", default="sdxl-turbo")
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--w_bits", type=int, default=8)
-    ap.add_argument("--compute", default="int8", choices=["int8", "dequant"])
+    ap.add_argument("--compute", default="int8",
+                    choices=["int8", "int8_sec", "dequant"])
+    ap.add_argument("--pack_w4", action="store_true",
+                    help="keep W<=4 weights halves-packed resident "
+                    "(pairs with --compute dequant for the paper's 3.4x "
+                    "static claim)")
+    ap.add_argument("--mp_w", default=None,
+                    help="elected weight MP yaml (per-layer bits)")
+    ap.add_argument("--mp_a", default=None,
+                    help="elected act MP yaml")
+    ap.add_argument("--act_protect", default=None,
+                    help="act-protect list (yaml or reference .pt)")
+    ap.add_argument("--json", action="store_true",
+                    help="also print one machine-readable JSON line")
     args = ap.parse_args()
 
     print(f"{'config':<16} {'static MB':>10} {'dynamic MB':>11} {'peak MB':>9}")
-    s, d, p = unet_mem(args.family, args.batch)
-    print(f"{'bf16':<16} {s:>10.1f} {d:>11.1f} {p:>9.1f}")
-    fp = (s, d, p)
+    s0, d0, p0 = unet_mem(args.family, args.batch)
+    print(f"{'bf16':<16} {s0:>10.1f} {d0:>11.1f} {p0:>9.1f}")
     # fresh process-level peak is not resettable; report quant on its own
     s, d, p = unet_mem(args.family, args.batch, quant=args.compute,
-                       w_bits=args.w_bits)
-    name = f"W{args.w_bits}A8-{args.compute}"
+                       w_bits=args.w_bits, pack_w4=args.pack_w4,
+                       mp_w=args.mp_w, mp_a=args.mp_a,
+                       act_protect=args.act_protect)
+    if args.mp_w or args.mp_a:
+        name = "MP"
+        if args.mp_w:
+            name += f"-W{os.path.basename(args.mp_w).rsplit('.yaml', 1)[0]}"
+        if args.mp_a:
+            name += f"-A{os.path.basename(args.mp_a).rsplit('.yaml', 1)[0]}"
+    else:
+        name = f"W{args.w_bits}A8"
+    if args.pack_w4:
+        name += "-packed"
+    name += f"-{args.compute}"
     print(f"{name:<16} {s:>10.1f} {d:>11.1f} {p:>9.1f}")
-    print(f"static saving: {fp[0]/max(s,1e-9):.2f}x")
+    print(f"static saving: {s0/max(s,1e-9):.2f}x  "
+          f"peak saving: {p0/max(p,1e-9):.2f}x")
+    if args.json:
+        import json
+        print(json.dumps({
+            "family": args.family, "batch": args.batch, "config": name,
+            "bf16": {"static_mb": round(s0, 1), "dynamic_mb": round(d0, 1),
+                     "peak_mb": round(p0, 1)},
+            "quant": {"static_mb": round(s, 1), "dynamic_mb": round(d, 1),
+                      "peak_mb": round(p, 1)},
+            "static_saving": round(s0 / max(s, 1e-9), 2),
+            "peak_saving": round(p0 / max(p, 1e-9), 2),
+        }))
 
 
 if __name__ == "__main__":

@@ -55,6 +55,9 @@ def main():
     ap.add_argument("--artifacts_dir", default=None,
                     help="also mirror outputs reference-style under DIR/"
                     "final_config/{which}/<achieved>.yaml + sensitivity/")
+    ap.add_argument("--dp_mesh", type=int, default=0, metavar="N",
+                    help="shard sweep points over an N-device dp mesh "
+                    "(0 = single device); requires N visible devices")
     args = ap.parse_args()
 
     cfg = load_config(os.path.join(args.base_path, "config.yaml"))
@@ -105,12 +108,16 @@ def main():
                     if "text_embeds" in data else None))
     fp_out = jnp.asarray(data["outputs"][0, :cb])
     variables = {"params": params["unet"]}
+    mesh = None
+    if args.dp_mesh:
+        from mixdq_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(args.dp_mesh, tp=1)
     bits_q = (4, 8)
     if args.batched:
         sens_q = sensitivity.sweep_sqnr_batched(
             pipe.unet, variables, qparams, quality, names, calib_batch,
             fp_out, wq, aq, which=args.which, bits=bits_q,
-            chunk=args.batched)
+            chunk=args.batched, mesh=mesh)
     else:
         sens_q = sensitivity.sweep_sqnr(
             pipe.unet, variables, qparams, quality, names, calib_batch,
@@ -125,7 +132,7 @@ def main():
             pipe, params, qparams, content, names, prompts, key, wq, aq,
             which=args.which, bits=bits_c,
             num_steps=cfg.inference.get("num_steps"),
-            chunk=min(args.batched, 4))
+            chunk=min(args.batched, 4), mesh=mesh)
     else:
         sens_c = sensitivity.sweep_ssim(
             pipe, params, qparams, content, names, prompts, key, wq, aq,

@@ -166,3 +166,86 @@ def test_sweep_ssim_batched_matches_sequential():
         # quantized-at-2-bit layers must read as more sensitive than at 8
         assert bat[n][0] <= bat[n][1] + 1e-3
         np.testing.assert_allclose(bat[n], seq[n], atol=5e-3)
+
+
+@pytest.mark.slow
+def test_sweep_sqnr_dp_mesh_matches_single():
+    """dp-mesh-sharded batched sweep == single-device batched sweep
+    (sweep points are a batch axis; sharding them over dp changes the
+    partitioning, not the per-point compute)."""
+    from mixdq_tpu.models.configs import TINY_SDXL_UNET
+    from mixdq_tpu.models.unet import UNet2DConditionModel
+    from mixdq_tpu.parallel.mesh import make_mesh
+    from mixdq_tpu.quant import calibrate as cal
+    from mixdq_tpu.quant.core import QuantSpec
+    from mixdq_tpu.quant.state import quantizable_layers
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >=4 virtual devices")
+
+    model = UNet2DConditionModel(TINY_SDXL_UNET)
+    B = 1
+    b0 = (jax.random.normal(jax.random.PRNGKey(9), (B, 16, 16, 4)),
+          jnp.full((B,), 999.0),
+          jax.random.normal(jax.random.PRNGKey(8), (B, 77, 128)),
+          {"text_embeds": jnp.ones((B, 64)), "time_ids": jnp.ones((B, 6))})
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), *b0)
+    names = sorted(quantizable_layers(variables["params"]))
+    WQ = QuantSpec(sym=True, channel_wise=True, round_mode="nearest")
+    AQ = QuantSpec(running_stat=True)
+    qparams = cal.calibrate(model, variables, [b0], WQ, AQ)
+    fp_out = jax.jit(model.apply)(variables, *b0)
+
+    subset = names[:4]
+    single = sensitivity.sweep_sqnr_batched(
+        model, variables, qparams, subset, names, b0, fp_out, WQ, AQ,
+        bits=(4, 8), chunk=8)
+    mesh = make_mesh(4, tp=1)
+    with mesh:
+        sharded = sensitivity.sweep_sqnr_batched(
+            model, variables, qparams, subset, names, b0, fp_out, WQ, AQ,
+            bits=(4, 8), chunk=8, mesh=mesh)
+    for n in subset:
+        np.testing.assert_allclose(sharded[n], single[n], rtol=1e-4,
+                                   atol=1e-3)
+
+
+@pytest.mark.slow
+def test_sweep_ssim_dp_mesh_matches_single():
+    """dp-mesh-sharded SSIM content sweep == single-device batched sweep."""
+    from mixdq_tpu.parallel.mesh import make_mesh
+    from mixdq_tpu.pipelines.txt2img import Text2ImgPipeline
+    from mixdq_tpu.quant import calibrate as cal
+    from mixdq_tpu.quant.core import QuantSpec
+    from mixdq_tpu.quant.state import quantizable_layers
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >=4 virtual devices")
+
+    pipe = Text2ImgPipeline("tiny-sdxl")
+    params = pipe.init_params(jax.random.PRNGKey(0))
+    B = 1
+    b0 = (jax.random.normal(jax.random.PRNGKey(9), (B, 16, 16, 4)),
+          jnp.full((B,), 999.0),
+          jax.random.normal(jax.random.PRNGKey(8), (B, 77, 128)),
+          {"text_embeds": jnp.ones((B, 64)), "time_ids": jnp.ones((B, 6))})
+    variables = {"params": params["unet"]}
+    names = sorted(quantizable_layers(params["unet"]))
+    WQ = QuantSpec(sym=True, channel_wise=True, round_mode="nearest")
+    AQ = QuantSpec(running_stat=True)
+    qparams = cal.calibrate(pipe.unet, variables, [b0], WQ, AQ)
+
+    content, _ = sensitivity.split_metric_groups(names)
+    subset = content[:2]
+    prompts = ["a cat"]
+    key = jax.random.PRNGKey(3)
+    single = sensitivity.sweep_ssim_batched(
+        pipe, params, qparams, subset, names, prompts, key, WQ, AQ,
+        bits=(2, 8), num_steps=1, chunk=4)
+    mesh = make_mesh(4, tp=1)
+    with mesh:
+        sharded = sensitivity.sweep_ssim_batched(
+            pipe, params, qparams, subset, names, prompts, key, WQ, AQ,
+            bits=(2, 8), num_steps=1, chunk=4, mesh=mesh)
+    for n in subset:
+        np.testing.assert_allclose(sharded[n], single[n], atol=1e-4)
