@@ -47,6 +47,24 @@ class _LNParams(nn.Module):
         return scale, bias
 
 
+def deploy_res_add(residual, delta, ctx: QuantCtx):
+    """Residual add pinned to the model dtype on the real-quant path.
+
+    Without the barrier, XLA's bf16-conversion folding keeps every
+    transformer-block residual contribution alive in f32 up to the next
+    standalone act-quantize: each to_out/proj GEMM fusion then emits a
+    DUPLICATE f32[T, C] copy next to its bf16 output, and the proj_out
+    quantize fusion re-reads all of them and re-does the whole add chain
+    in f32 (measured ~0.6 ms/step of duplicated HBM traffic at
+    SDXL-Turbo B=1, bench_logs/r4_prof_sec2.txt '?' bucket). The barrier
+    stops the folding; numerics match the bf16 baseline, which
+    accumulates residuals in bf16 anyway."""
+    out = residual + delta
+    if ctx.mode == "int8" and ctx.deploy is not None:
+        out = jax.lax.optimization_barrier(out)
+    return out
+
+
 def fused_ln_entry(ctx: QuantCtx, dense_name: Optional[str]):
     """The deploy entry of ``dense_name`` if its pre-LayerNorm producer
     can fuse into an ln_quantize kernel (int8_sec Pallas path, int8 dense
@@ -103,6 +121,38 @@ class Attention(nn.Module):
                     and (kv_input.size // kv_input.shape[-1]
                          <= ctx.dequant_small_m)):
                 rc = "dequant"  # small-M hybrid, see QuantCtx
+            # QKV-fused whole-attention (self-attn, int8_sec): the norm1
+            # ln_quantize codes feed ONE kernel that runs the int8 qkv
+            # GEMM + MHA + to_out act-quantize — the separate to_qkv
+            # GEMM and its [T, 3C] bf16 HBM round-trip disappear.
+            if (not is_cross and rc == "int8"
+                    and ctx.deploy_compute == "int8_sec"
+                    and ctx.attn_impl == "auto"
+                    and kv_input.dtype == jnp.int8 and kv_input.ndim == 3
+                    and dp_f.w_int is not None
+                    and dp_f.w_int.dtype == jnp.int8 and not dp_f.act_off):
+                from ..ops import pallas_mode
+                from ..ops.pallas_sec_attention import (
+                    sec_attention_qkv, sec_attention_qkv_ok)
+
+                use_pallas, interp = pallas_mode()
+                dp_o = ctx.deploy.get(base + ".to_out.0")
+                if (use_pallas and dp_o is not None
+                        and dp_o.kind == "linear"
+                        and dp_o.scale_inv is not None and not dp_o.act_off
+                        and sec_attention_qkv_ok(
+                            self.heads, self.head_dim,
+                            kv_input.shape[1], kv_input.shape[2])):
+                    from ..ops.qops import act_clip_range
+
+                    codes = sec_attention_qkv(
+                        kv_input, dp_f.w_int, dp_f.scale, dp_f.bias0,
+                        dp_o.scale_inv, dp_o.zp_shifted,
+                        heads=self.heads, head_dim=self.head_dim,
+                        scale=float(self.head_dim**-0.5),
+                        interpret=interp, clip=act_clip_range(dp_o.a_bits))
+                    return QDense(self.query_dim, dtype=self.dtype,
+                                  name="to_out_0")(codes, ctx)
             y = deploy_linear(kv_input, dp_f, rc, self.dtype)
             # BoS protection on cross-attn k/v (quant_block.py:585-625):
             # FP (precomputed or dequantized-weight) first-token output.
@@ -309,19 +359,21 @@ class BasicTransformerBlock(nn.Module):
         # feeds ff.net.0.proj alone)
         h = self._ln(hidden_states, 1,
                      f"{base}.attn1.to_qkv" if ctx.fuse_qkv else None, ctx)
-        hidden_states = hidden_states + Attention(
+        hidden_states = deploy_res_add(hidden_states, Attention(
             self.dim, self.heads, self.head_dim, dtype=self.dtype, name="attn1"
-        )(h, None, ctx)
+        )(h, None, ctx), ctx)
 
         h = self._ln(hidden_states, 2, f"{base}.attn2.to_q", ctx)
-        hidden_states = hidden_states + Attention(
+        hidden_states = deploy_res_add(hidden_states, Attention(
             self.dim, self.heads, self.head_dim,
             cross_attention_dim=self.cross_attention_dim,
             dtype=self.dtype, name="attn2",
-        )(h, encoder_hidden_states, ctx)
+        )(h, encoder_hidden_states, ctx), ctx)
 
         h = self._ln(hidden_states, 3, f"{base}.ff.net.0.proj", ctx)
-        hidden_states = hidden_states + FeedForward(self.dim, dtype=self.dtype, name="ff")(h, ctx)
+        hidden_states = deploy_res_add(
+            hidden_states,
+            FeedForward(self.dim, dtype=self.dtype, name="ff")(h, ctx), ctx)
         return hidden_states
 
 
@@ -394,4 +446,4 @@ class Transformer2DModel(nn.Module):
             h = h.reshape(B, H, W, inner)
             h = QConv(self.in_channels, kernel_size=(1, 1), padding=0,
                       dtype=self.dtype, name="proj_out")(h, ctx)
-        return h + residual
+        return deploy_res_add(residual, h, ctx)

@@ -81,7 +81,18 @@ def _pick_div(total: int, target: int, unit: int = 1) -> int:
 #: standalone sweep absolute numbers across sessions are not. Entries
 #: only where an in-model win was confirmed; unlisted shapes use the
 #: rule in _auto_config.
-_TUNED = {}
+#: bench_logs/r4_convtune2.txt (interleaved round-robin medians, 7
+#: rounds): entries where the winner beat the auto rule by >1.5 us.
+_TUNED = {  # values are TARGETS (refined by _pick_div below), verbatim
+    (3, 3, 64, 640, 640): (16, 512, 512),    # 13.1 vs auto 16.2
+    (3, 3, 64, 960, 320): (32, 512, 512),    # 20.0 vs auto 23.8
+    (3, 3, 32, 960, 640): (32, 512, 512),    # 15.3 vs auto 20.2
+    (3, 3, 32, 1280, 640): (16, 512, 512),   # 18.0 vs auto 19.6
+    (3, 3, 32, 1920, 640): (32, 640, 512),   # 17.1 vs auto 19.8
+    (3, 3, 16, 1280, 1280): (8, 512, 256),   # 17.9 vs auto 21.1
+    (3, 3, 16, 1920, 1280): (32, 512, 512),  # 14.4 vs auto 16.2
+    (3, 3, 16, 2560, 1280): (16, 640, 640),  # 15.6 vs auto 22.1
+}
 
 #: soft VMEM budget for one grid step's resident blocks (the scoped
 #: limit is 16 MB; leave headroom for Mosaic temporaries)

@@ -334,8 +334,8 @@ def geglu_qmatmul(
     out_scale_inv: jnp.ndarray,  # 0-d: 1/s_a of the CONSUMER (ff.net.2)
     out_zp_shifted: jnp.ndarray,  # 0-d: consumer zp - 128
     bias: Optional[jnp.ndarray] = None,  # [2H] f32 proj bias
-    bm: int = 256,
-    bn: int = 640,
+    bm: int = 0,
+    bn: int = 0,
     gelu_tanh: bool = True,
     clip: tuple = (-128.0, 127.0),
     out_dtype=jnp.int8,
@@ -353,6 +353,14 @@ def geglu_qmatmul(
     assert K == K2 and N2 % 2 == 0
     H = N2 // 2
     Kp = _round_up(K, 128)
+    # measured-best blocks on the SDXL FF shapes (bench_logs/
+    # r4_geglu_tune.txt, interleaved medians): small-M tiles want WIDE
+    # n-blocks (weights stream once, fewer grid steps); large-M wants
+    # tall m-blocks so the weight panels re-stream fewer times.
+    if not bm:
+        bm = 256 if M <= 1024 else 1024
+    if not bn:
+        bn = 1280 if M <= 256 else 512
     bm = _fit_block(M, bm, 32 if M < 128 else 128)
     bn = _fit_block(H, bn)
     Mp, Hp = _round_up(M, bm), _round_up(H, bn)

@@ -34,12 +34,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _sec_attention_kernel(cst_ref, q_ref, k_ref, v_ref, o_ref, *, g, d, scale):
+def _attend_quantize(cst_ref, q, k, v, o_ref, *, g, d, scale):
+    """Shared tail: per-head softmax attention over lane-sliced q/k/v
+    [T, g*d] followed by the to_out consumer's act-quantize."""
     si = cst_ref[0]  # 1 / s_a of the to_out projection
     zp = cst_ref[1]  # to_out act zero point - 128
-    q = q_ref[0]  # [Tq, g*d]
-    k = k_ref[0]  # [Tk, g*d]
-    v = v_ref[0]
     outs = []
     for i in range(g):  # g = heads per grid step (hpp 128-lane blocks)
         qi = jax.lax.slice_in_dim(q, i * d, (i + 1) * d, axis=1)
@@ -57,6 +56,11 @@ def _sec_attention_kernel(cst_ref, q_ref, k_ref, v_ref, o_ref, *, g, d, scale):
         outs.append(jnp.clip(jnp.round(o * si) + zp,
                              cst_ref[2], cst_ref[3]))
     o_ref[0] = jnp.concatenate(outs, axis=1).astype(jnp.int8)
+
+
+def _sec_attention_kernel(cst_ref, q_ref, k_ref, v_ref, o_ref, *, g, d, scale):
+    _attend_quantize(cst_ref, q_ref[0], k_ref[0], v_ref[0], o_ref,
+                     g=g, d=d, scale=scale)
 
 
 def sec_attention_ok(heads: int, head_dim: int, Tq: int, Tk: int,
@@ -151,4 +155,135 @@ def sec_attention(
             transcendentals=B * heads * Tq * Tk),
         interpret=interpret,
     )(consts, q_src, k_src, v_src)
+    return out
+
+
+def _sec_qkv_kernel(cst_ref, x_ref, wq_ref, wk_ref, wv_ref,
+                    sq_ref, bq_ref, sk_ref, bk_ref, sv_ref, bv_ref,
+                    o_ref, *, g, d, scale):
+    x = x_ref[0]  # [T, C] s8 codes (shared across the head grid)
+
+    def proj(w_ref, s_ref, b_ref):
+        # same epilogue as qops.qlinear: (acc - bias0) * (s_w * s_a)
+        acc = jax.lax.dot_general(x, w_ref[...], (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.int32)
+        y = (acc.astype(jnp.float32) - b_ref[...]) * s_ref[...]
+        return y.astype(jnp.bfloat16)  # [T, W]
+
+    _attend_quantize(cst_ref, proj(wq_ref, sq_ref, bq_ref),
+                     proj(wk_ref, sk_ref, bk_ref),
+                     proj(wv_ref, sv_ref, bv_ref), o_ref,
+                     g=g, d=d, scale=scale)
+
+
+def _sec_qkv_pick_hpp(heads: int, d: int, T: int, C: int):
+    """Largest heads-per-program W=128*hpp such that W divides C (the
+    three weight column panels sit at offsets 0/C/2C, so block-index
+    addressing needs C % W == 0), hpp divides nj, and the grid step's
+    resident set fits VMEM. Returns 0 when nothing fits."""
+    g = 128 // d
+    nj = heads // g
+
+    def vmem_est(h):
+        w = 128 * h
+        return (2 * T * C                  # x codes block (+ twin)
+                + 3 * 2 * C * w            # q/k/v weight panels, dbl-buf
+                + 3 * 2 * T * w            # dequantized q/k/v (bf16)
+                + 3 * 4 * T * w            # f32 proj temporaries
+                + 8 * T * T                # logits f32 s/p
+                + 2 * T * w + 4 * T * w)   # s8 out (+f32 temp)
+
+    # 13.5 MB: the T=1024 C=640 level estimates 13.3 MB and compiles
+    # (the logits s/p f32 pair dominates; the non-fused kernel ships the
+    # same footprint there) — the estimate is conservative vs Mosaic's
+    # actual liveness
+    for h in range(nj, 0, -1):
+        if nj % h == 0 and C % (128 * h) == 0 \
+                and vmem_est(h) <= int(13.5 * 1024 * 1024):
+            return h
+    return 0
+
+
+def sec_attention_qkv_ok(heads: int, head_dim: int, T: int, C: int) -> bool:
+    """Static gate for the qkv-fused self-attention kernel."""
+    if head_dim > 128 or 128 % head_dim or T % 8 or T * T > 2**20:
+        return False
+    g = 128 // head_dim
+    if heads % g or heads * head_dim != C or C % 128:
+        return False
+    return _sec_qkv_pick_hpp(heads, head_dim, T, C) > 0
+
+
+def sec_attention_qkv(
+    x_codes: jnp.ndarray,  # [B, T, C] s8 (the norm1 ln_quantize output)
+    w_int8: jnp.ndarray,  # [C, 3C] fused qkv weight (q|k|v column panels)
+    w_scale: jnp.ndarray,  # [3C] f32 = s_w * s_a of the to_qkv entry
+    bias0: jnp.ndarray,  # [3C] f32 = zp_s * sum_K(w_int8)
+    out_scale_inv: jnp.ndarray,  # 0-d f32: 1 / to_out act scale
+    out_zp_shifted: jnp.ndarray,  # 0-d f32: to_out act zero point - 128
+    *,
+    heads: int,
+    head_dim: int,
+    scale: float,  # softmax scale (head_dim ** -0.5)
+    interpret: bool = False,
+    clip: tuple = (-128.0, 127.0),
+    hpp_override: int = 0,
+) -> jnp.ndarray:
+    """Self-attention with the fused QKV projection folded IN: int8 GEMM
+
+    NOT @jax.jit-decorated (unlike its siblings): nesting this call in
+    its own jit made the surrounding XLA program treat the kernel
+    pathologically (compiles of minutes, ~100x execution time —
+    bisected to the decoration itself, bench_logs/r4 probes 1-5); it is
+    only ever called inside the jitted model, where inline tracing is
+    free anyway.
+
+    (q/k/v panels) + dequant + MHA + to_out act-quantize in ONE call.
+
+    Removes the separate to_qkv GEMM and its [T, 3C] bf16 HBM round-trip
+    (measured 8 us GEMM + 8.3 us attention per site at the SDXL-Turbo
+    16x16 level vs ~9 us fused; 60 self-attn sites there). The reference
+    runs projection and SDPA as separate torch calls
+    (quant_block.py:628-652)."""
+    B, T, C = x_codes.shape
+    d = head_dim
+    assert w_int8.shape == (C, 3 * C), (w_int8.shape, C)
+    assert sec_attention_qkv_ok(heads, d, T, C), (heads, d, T, C)
+    g = 128 // d
+    nj = heads // g
+    hpp = hpp_override or _sec_qkv_pick_hpp(heads, d, T, C)
+    W = 128 * hpp
+    nw = C // W  # weight panel stride in W-blocks
+
+    consts = jnp.stack([jnp.asarray(out_scale_inv, jnp.float32).reshape(()),
+                        jnp.asarray(out_zp_shifted, jnp.float32).reshape(()),
+                        jnp.float32(clip[0]), jnp.float32(clip[1])])
+    s2 = w_scale.reshape(1, 3 * C).astype(jnp.float32)
+    b2 = bias0.reshape(1, 3 * C).astype(jnp.float32)
+    wspec = lambda p: pl.BlockSpec((C, W), lambda b, j, p=p: (0, p * nw + j),
+                                   memory_space=pltpu.VMEM)
+    vspec = lambda p: pl.BlockSpec((1, W), lambda b, j, p=p: (0, p * nw + j),
+                                   memory_space=pltpu.VMEM)
+    grid = (B, nj // hpp)
+    out = pl.pallas_call(
+        functools.partial(_sec_qkv_kernel, g=g * hpp, d=d,
+                          scale=float(scale)),
+        name="sec_attention_qkv",
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, T, C), lambda b, j: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            wspec(0), wspec(1), wspec(2),
+            vspec(0), vspec(0), vspec(1), vspec(1), vspec(2), vspec(2),
+        ],
+        out_specs=pl.BlockSpec((1, T, W), lambda b, j: (b, 0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, T, C), jnp.int8),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * T * C * 3 * C + 4 * B * heads * T * T * d,
+            bytes_accessed=B * T * C * 2 + 3 * C * C,
+            transcendentals=B * heads * T * T),
+        interpret=interpret,
+    )(consts, x_codes, w_int8, w_int8, w_int8, s2, b2, s2, b2, s2, b2)
     return out

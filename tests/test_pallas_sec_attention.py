@@ -117,3 +117,79 @@ def test_sec_attention_gate():
     assert not sec_attention_ok(8, 40, 256, 256)        # 128 % d != 0
     assert not sec_attention_ok(8, 64, 4096, 4096)      # logits > VMEM
     assert not sec_attention_ok(8, 64, 256, 256, 320)   # unaligned offset
+
+
+def test_sec_attention_qkv_matches_unfused():
+    """QKV-fused kernel == int8 qlinear -> bf16 -> sec_attention chain
+    (same epilogue math, so codes should be bit-identical)."""
+    from mixdq_tpu.ops.pallas_sec_attention import (sec_attention_qkv,
+                                                    sec_attention_qkv_ok)
+    from mixdq_tpu.ops.qops import qlinear
+
+    rng = np.random.RandomState(0)
+    for (T, C, heads) in [(256, 1280, 20), (64, 640, 10)]:
+        d = C // heads
+        x = jnp.asarray(rng.randint(-127, 128, (1, T, C)), jnp.int8)
+        w = jnp.asarray(rng.randint(-127, 128, (C, 3 * C)), jnp.int8)
+        sc = jnp.asarray(rng.rand(3 * C) * 1e-3 + 1e-4, jnp.float32)
+        b0 = jnp.asarray(rng.randn(3 * C) * 5, jnp.float32)
+        osi = jnp.float32(37.0)
+        ozp = jnp.float32(3.0)
+        assert sec_attention_qkv_ok(heads, d, T, C)
+        fused = sec_attention_qkv(x, w, sc, b0, osi, ozp, heads=heads,
+                                  head_dim=d, scale=float(d**-0.5),
+                                  interpret=True)
+        y = qlinear(x, w, sc, b0).astype(jnp.bfloat16)
+        ref = sec_attention(y, y, y, osi, ozp, heads=heads, head_dim=d,
+                            scale=float(d**-0.5), q_off=0, k_off=C,
+                            v_off=2 * C, interpret=True)
+        diff = np.abs(np.asarray(fused, np.int32) - np.asarray(ref, np.int32))
+        assert diff.max() <= 1
+        assert (diff > 0).mean() < 1e-3
+
+
+def test_sec_attention_qkv_gate():
+    from mixdq_tpu.ops.pallas_sec_attention import sec_attention_qkv_ok
+
+    assert sec_attention_qkv_ok(20, 64, 256, 1280)
+    assert sec_attention_qkv_ok(10, 64, 1024, 640)
+    assert not sec_attention_qkv_ok(2, 64, 64, 64)      # inner != C
+    assert not sec_attention_qkv_ok(8, 40, 256, 320)    # 128 % d != 0
+    assert not sec_attention_qkv_ok(20, 64, 4096, 1280)  # logits > VMEM
+
+
+def test_sec_attention_qkv_in_model(monkeypatch):
+    """Transformer2DModel with dim == heads*head_dim: the qkv-fused
+    whole-attention kernel must be in the traced int8_sec graph and
+    match the plain int8 path."""
+    from mixdq_tpu.models.attention import Transformer2DModel
+    from mixdq_tpu.quant import calibrate as cal
+    from mixdq_tpu.quant.core import QuantSpec
+    from mixdq_tpu.quant.deploy import deploy_unet_ctx, deployed_params
+    from mixdq_tpu.quant.state import quantizable_layers, uniform_ctrl
+
+    model = Transformer2DModel(in_channels=128, heads=2, head_dim=64,
+                               num_layers=1, cross_attention_dim=64,
+                               norm_num_groups=16)
+    x = jax.random.normal(jax.random.PRNGKey(3), (1, 8, 8, 128))
+    ehs = jax.random.normal(jax.random.PRNGKey(4), (1, 77, 64))
+    variables = model.init(jax.random.PRNGKey(0), x, ehs)
+    names = quantizable_layers(variables["params"])
+    wq = QuantSpec(sym=True, channel_wise=True, round_mode="nearest")
+    aq = QuantSpec(running_stat=True)
+    qparams = cal.calibrate(model, variables, [(x, ehs)], wq, aq)
+    ctrl = uniform_ctrl(names, w_bits=8, a_bits=8)
+    ctx = deploy_unet_ctx(model, variables, qparams, ctrl, wq, aq,
+                          bos_aware=False, fuse_qkv=True)
+    pruned = deployed_params(variables, ctx)
+    run = jax.jit(lambda v, c, *a: model.apply(v, *a, c))
+    out_int8 = np.asarray(run(pruned, ctx, x, ehs))
+
+    monkeypatch.setenv("MIXDQ_PALLAS_INTERPRET", "1")
+    sctx = ctx.replace(deploy_compute="int8_sec", attn_impl="auto")
+    jaxpr = jax.make_jaxpr(lambda v, c, *a: model.apply(v, *a, c))(
+        pruned, sctx, x, ehs)
+    assert "sec_attention_qkv" in repr(jaxpr)
+    out_sec = np.asarray(run(pruned, sctx, x, ehs))
+    assert np.isfinite(out_sec).all()
+    assert np.max(np.abs(out_sec - out_int8)) < 0.3

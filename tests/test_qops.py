@@ -396,6 +396,7 @@ def test_gelu_exact_vs_tanh_ctx():
     assert not jnp.allclose(y_tanh, y_exact)
 
 
+@pytest.mark.slow
 def test_w4_packed_int8_compute_matches_unpacked():
     """Packed-W4 entries under int8 compute unpack in-graph and match the
     unpacked W4 int8 deploy exactly (reference's quint4x2-storage /
@@ -489,6 +490,7 @@ def test_dequant_small_m_hybrid():
     assert not jnp.allclose(out_int8, out_h)
 
 
+@pytest.mark.slow
 def test_mixed_act_bits_deploy_matches_fake_quant():
     """A4/A2 act layers ride the int8 deploy path with tighter code
     saturation (qops.act_clip_range) — numerics match the fake-quant

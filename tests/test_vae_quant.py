@@ -66,6 +66,7 @@ def test_vae_int8_sec_matches_int8(vae_setup, monkeypatch):
     np.testing.assert_allclose(out_sec, out_int8, atol=0.05)
 
 
+@pytest.mark.slow
 def test_pipeline_decode_takes_vae_ctx(vae_setup):
     """Text2ImgPipeline decode accepts a quantized-VAE ctx."""
     from mixdq_tpu.pipelines.txt2img import Text2ImgPipeline
