@@ -176,6 +176,49 @@ class Attention(nn.Module):
                                  w_fp).astype(self.dtype)
                 y = jnp.concatenate([y0, y[..., 1:, :]], axis=-2)
             if is_cross:
+                # Q-fused whole-attention (cross-attn, int8_sec): the
+                # norm2 ln_quantize codes feed ONE kernel that runs the
+                # int8 to_q GEMM + MHA over the (BoS-protected) k/v
+                # panels of the fused to_kv output + to_out act-quantize
+                # — the separate to_q GEMM and its [Tq, C] bf16 HBM
+                # round-trip disappear.
+                if (ctx.deploy_compute == "int8_sec"
+                        and ctx.attn_impl == "auto"
+                        and not ctx.dequant_small_m
+                        and hidden_states.dtype == jnp.int8
+                        and hidden_states.ndim == 3
+                        and y.dtype != jnp.int8):
+                    from ..ops import pallas_mode
+                    from ..ops.pallas_sec_attention import (
+                        sec_attention_q, sec_attention_q_ok)
+
+                    use_pallas, interp = pallas_mode()
+                    dp_q = ctx.deploy.get(base + ".to_q")
+                    dp_o = ctx.deploy.get(base + ".to_out.0")
+                    if (use_pallas and dp_q is not None
+                            and dp_q.kind == "linear"
+                            and dp_q.w_int is not None
+                            and dp_q.w_int.dtype == jnp.int8
+                            and not dp_q.act_off
+                            and dp_o is not None and dp_o.kind == "linear"
+                            and dp_o.scale_inv is not None
+                            and not dp_o.act_off
+                            and sec_attention_q_ok(
+                                self.heads, self.head_dim,
+                                hidden_states.shape[1], y.shape[1],
+                                hidden_states.shape[2], 0, inner)):
+                        from ..ops.qops import act_clip_range
+
+                        codes = sec_attention_q(
+                            hidden_states, dp_q.w_int, dp_q.scale,
+                            dp_q.bias0, y, y, dp_o.scale_inv,
+                            dp_o.zp_shifted,
+                            heads=self.heads, head_dim=self.head_dim,
+                            scale=float(self.head_dim**-0.5),
+                            k_off=0, v_off=inner, interpret=interp,
+                            clip=act_clip_range(dp_o.a_bits))
+                        return QDense(self.query_dim, dtype=self.dtype,
+                                      name="to_out_0")(codes, ctx)
                 q = QDense(inner, use_bias=False, dtype=self.dtype,
                            name="to_q")(hidden_states, ctx)
                 srcs, offs = (q, y, y), (0, 0, inner)

@@ -40,6 +40,11 @@ class Config(dict):
 
 
 def load_config(path: str) -> Config:
+    # every CLI script loads its config before first backend use, so this
+    # is the one place the MIXDQ_PLATFORM=cpu smoke-flow hook can live
+    from .platform import apply_platform_env
+
+    apply_platform_env()
     with open(path) as f:
         return Config(yaml.safe_load(f))
 

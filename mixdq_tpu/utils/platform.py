@@ -24,6 +24,21 @@ def force_cpu(n_virtual_devices: int | None = None) -> None:
     jax.config.update("jax_platforms", "cpu")
 
 
+def apply_platform_env() -> None:
+    """Honor ``MIXDQ_PLATFORM`` (e.g. ``cpu``). The sitecustomize above
+    ignores JAX_PLATFORMS, so an env hook is the only way shell drivers
+    (run_flow.sh CPU smoke flows) can pick the host CPU for the CLI
+    scripts. Called from ``utils.config.load_config`` — every script
+    loads its config before first backend use."""
+    p = os.environ.get("MIXDQ_PLATFORM")
+    if p == "cpu":
+        force_cpu()
+    elif p:
+        import jax
+
+        jax.config.update("jax_platforms", p)
+
+
 def on_tpu() -> bool:
     import jax
 

@@ -9,6 +9,11 @@ set -euo pipefail
 CONFIG=${1:-configs/tiny.yaml}
 OUTDIR=${2:-outputs/flow}
 
+# tiny configs are CPU smoke flows: keep them off the (slow-eager,
+# contended) TPU tunnel — the scripts honor MIXDQ_PLATFORM via
+# utils.platform.apply_platform_env
+case "$CONFIG" in *tiny*) export MIXDQ_PLATFORM=${MIXDQ_PLATFORM:-cpu};; esac
+
 # CI-style gate: `./run_flow.sh test` runs the fast test tier (<2-3 min;
 # pure math/kernel/unit tests). Full suite (`pytest tests/`) adds the
 # model-building e2e tests (~10 min on a fast box, 60+ on a degraded

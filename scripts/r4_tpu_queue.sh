@@ -49,8 +49,6 @@ MIXDQ_BENCH_MP_PROTECT=$RF/act_protect_reference.yaml \
 run r4_bench_mp502 python bench.py
 MIXDQ_BENCH_WBITS=4 run r4_bench_w4 python bench.py
 
-# 5. Family re-measures after the r4 kernel wins (VERDICT #8)
-MIXDQ_BENCH_FAMILY=sdxl run r4_bench_sdxl1024 python bench.py
-MIXDQ_BENCH_FAMILY=sd15 run r4_bench_sd15 python bench.py
-
 echo "r4 queue done" >&2
+# Family re-measures (VERDICT #8) live in r4_family_bench.sh — they run
+# LAST, after the round's kernel work freezes, so they include it.

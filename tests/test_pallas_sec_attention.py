@@ -158,6 +158,86 @@ def test_sec_attention_qkv_gate():
     assert not sec_attention_qkv_ok(20, 64, 4096, 1280)  # logits > VMEM
 
 
+def test_sec_attention_q_matches_unfused():
+    """Q-fused cross-attention kernel == int8 qlinear -> sec_attention
+    over the k/v panels (same epilogue math: codes bit-identical up to
+    the 1-step f32-softmax tie)."""
+    from mixdq_tpu.ops.pallas_sec_attention import (sec_attention_q,
+                                                    sec_attention_q_ok)
+    from mixdq_tpu.ops.qops import qlinear
+
+    rng = np.random.RandomState(1)
+    for (Tq, Tk, C_in, heads) in [(256, 77, 1280, 20), (64, 77, 640, 10)]:
+        d = C_in // heads
+        C = heads * d
+        x = jnp.asarray(rng.randint(-127, 128, (1, Tq, C_in)), jnp.int8)
+        w = jnp.asarray(rng.randint(-127, 128, (C_in, C)), jnp.int8)
+        sc = jnp.asarray(rng.rand(C) * 1e-3 + 1e-4, jnp.float32)
+        b0 = jnp.asarray(rng.randn(C) * 5, jnp.float32)
+        kv = jnp.asarray(rng.randn(1, Tk, 2 * C), jnp.float32)
+        osi = jnp.float32(29.0)
+        ozp = jnp.float32(-5.0)
+        assert sec_attention_q_ok(heads, d, Tq, Tk, C_in, 0, C)
+        fused = sec_attention_q(x, w, sc, b0, kv, kv, osi, ozp, heads=heads,
+                                head_dim=d, scale=float(d**-0.5),
+                                k_off=0, v_off=C, interpret=True)
+        # the kernel keeps q at the k/v dtype (f32 here; bf16 in-model)
+        q = qlinear(x, w, sc, b0, out_dtype=jnp.float32)
+        ref = sec_attention(q, kv, kv, osi, ozp, heads=heads, head_dim=d,
+                            scale=float(d**-0.5), q_off=0, k_off=0,
+                            v_off=C, interpret=True)
+        diff = np.abs(np.asarray(fused, np.int32) - np.asarray(ref, np.int32))
+        assert diff.max() <= 1
+        assert (diff > 0).mean() < 1e-3
+
+
+def test_sec_attention_q_gate():
+    from mixdq_tpu.ops.pallas_sec_attention import sec_attention_q_ok
+
+    assert sec_attention_q_ok(20, 64, 256, 77, 1280, 0, 1280)
+    assert sec_attention_q_ok(10, 64, 1024, 77, 640, 0, 640)
+    assert not sec_attention_q_ok(8, 40, 256, 77, 320)    # 128 % d != 0
+    assert not sec_attention_q_ok(10, 64, 250, 77, 640)   # Tq % 8
+    assert not sec_attention_q_ok(20, 64, 4096, 512, 1280)  # logits > VMEM
+    assert not sec_attention_q_ok(10, 64, 1024, 77, 640, 0, 320)  # offset
+
+
+def test_sec_attention_q_in_model(monkeypatch):
+    """Transformer2DModel: the q-fused cross-attention kernel must be in
+    the traced int8_sec graph and match the plain int8 path."""
+    from mixdq_tpu.models.attention import Transformer2DModel
+    from mixdq_tpu.quant import calibrate as cal
+    from mixdq_tpu.quant.core import QuantSpec
+    from mixdq_tpu.quant.deploy import deploy_unet_ctx, deployed_params
+    from mixdq_tpu.quant.state import quantizable_layers, uniform_ctrl
+
+    model = Transformer2DModel(in_channels=128, heads=2, head_dim=64,
+                               num_layers=1, cross_attention_dim=64,
+                               norm_num_groups=16)
+    x = jax.random.normal(jax.random.PRNGKey(3), (1, 8, 8, 128))
+    ehs = jax.random.normal(jax.random.PRNGKey(4), (1, 77, 64))
+    variables = model.init(jax.random.PRNGKey(0), x, ehs)
+    names = quantizable_layers(variables["params"])
+    wq = QuantSpec(sym=True, channel_wise=True, round_mode="nearest")
+    aq = QuantSpec(running_stat=True)
+    qparams = cal.calibrate(model, variables, [(x, ehs)], wq, aq)
+    ctrl = uniform_ctrl(names, w_bits=8, a_bits=8)
+    ctx = deploy_unet_ctx(model, variables, qparams, ctrl, wq, aq,
+                          bos_aware=True, fuse_qkv=True)
+    pruned = deployed_params(variables, ctx)
+    run = jax.jit(lambda v, c, *a: model.apply(v, *a, c))
+    out_int8 = np.asarray(run(pruned, ctx, x, ehs))
+
+    monkeypatch.setenv("MIXDQ_PALLAS_INTERPRET", "1")
+    sctx = ctx.replace(deploy_compute="int8_sec", attn_impl="auto")
+    jaxpr = jax.make_jaxpr(lambda v, c, *a: model.apply(v, *a, c))(
+        pruned, sctx, x, ehs)
+    assert "sec_attention_q" in repr(jaxpr).replace("sec_attention_qkv", "")
+    out_sec = np.asarray(run(pruned, sctx, x, ehs))
+    assert np.isfinite(out_sec).all()
+    assert np.max(np.abs(out_sec - out_int8)) < 0.3
+
+
 def test_sec_attention_qkv_in_model(monkeypatch):
     """Transformer2DModel with dim == heads*head_dim: the qkv-fused
     whole-attention kernel must be in the traced int8_sec graph and
