@@ -65,6 +65,30 @@ def deploy_res_add(residual, delta, ctx: QuantCtx):
     return out
 
 
+def materialize_ln_codes(x, ln):
+    """Apply the deferred pre-LayerNorm + consumer act-quantize via the
+    standalone ``ln_quantize`` kernel — the fallback when a whole-block
+    kernel's gates fail at a site and the LN could not fold in-kernel."""
+    gamma, beta, dp = ln
+    from ..ops import pallas_mode
+    from ..ops.pallas_ln_quant import ln_quantize
+    from ..ops.qops import act_clip_range
+
+    return ln_quantize(x, gamma, beta, dp.scale_inv, dp.zp_shifted,
+                       interpret=pallas_mode()[1],
+                       clip=act_clip_range(dp.a_bits))
+
+
+def ln_fold_args(ln):
+    """(gamma, beta, x_scale_inv, x_zp_shifted, x_clip, eps) for the
+    whole-block kernels' LN-folded mode."""
+    from ..ops.qops import act_clip_range
+
+    gamma, beta, dp = ln
+    return (gamma, beta, dp.scale_inv, dp.zp_shifted,
+            act_clip_range(dp.a_bits), 1e-5)
+
+
 def fused_ln_entry(ctx: QuantCtx, dense_name: Optional[str]):
     """The deploy entry of ``dense_name`` if its pre-LayerNorm producer
     can fuse into an ln_quantize kernel (int8_sec Pallas path, int8 dense
@@ -88,6 +112,20 @@ def fused_ln_entry(ctx: QuantCtx, dense_name: Optional[str]):
     return dp
 
 
+class _BiasParams(nn.Module):
+    """Parameter-only stand-in for a QDense bias (same param name/shape/
+    dtype) used by the whole-block attention kernels, which consume the
+    to_out projection's bias directly instead of calling the layer."""
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self):
+        return self.param("bias", nn.initializers.zeros, (self.features,),
+                          self.dtype)
+
+
 class Attention(nn.Module):
     """Multi-head attention with quantizable projections."""
 
@@ -99,11 +137,31 @@ class Attention(nn.Module):
 
     @nn.compact
     def __call__(self, hidden_states, encoder_hidden_states=None,
-                 ctx: QuantCtx = QuantCtx()):
+                 ctx: QuantCtx = QuantCtx(), residual=None, ln=None):
+        """``residual``: the transformer block's residual stream (the
+        pre-LayerNorm hidden states). When given, the return value is
+        ``residual + attention_delta`` — on the whole-block int8_sec
+        kernels the add happens INSIDE the kernel epilogue; every other
+        path applies ``deploy_res_add``.
+
+        ``ln`` = (gamma, beta, consumer_deploy_entry): the block's
+        pre-LayerNorm is DEFERRED — ``hidden_states`` is then the raw
+        residual stream. The whole-block kernels fold the LN + consumer
+        act-quantize in-kernel; any fallback path first materializes the
+        codes via the standalone ``ln_quantize`` kernel (numerically the
+        same producer-fusion as before)."""
         inner = self.heads * self.head_dim
         is_cross = encoder_hidden_states is not None
         kv_input = encoder_hidden_states if is_cross else hidden_states
         base = canonical_name(self.path)
+        # LN-folding needs the kernel's residual (the raw input) to BE the
+        # block residual; the block passes the same array for both
+        ln_foldable = ln is not None and residual is hidden_states
+
+        def finish(delta):
+            if residual is None:
+                return delta
+            return deploy_res_add(residual, delta, ctx)
 
         # Fused QKV/KV projection (int8 deploy only): one shared-act-scale
         # GEMM instead of three — see deploy.fuse_attention_projections.
@@ -128,31 +186,69 @@ class Attention(nn.Module):
             if (not is_cross and rc == "int8"
                     and ctx.deploy_compute == "int8_sec"
                     and ctx.attn_impl == "auto"
-                    and kv_input.dtype == jnp.int8 and kv_input.ndim == 3
+                    and (kv_input.dtype == jnp.int8 or ln is not None)
+                    and kv_input.ndim == 3
                     and dp_f.w_int is not None
                     and dp_f.w_int.dtype == jnp.int8 and not dp_f.act_off):
                 from ..ops import pallas_mode
                 from ..ops.pallas_sec_attention import (
-                    sec_attention_qkv, sec_attention_qkv_ok)
+                    sec_attention_qkv, sec_attention_qkv_ok,
+                    sec_attention_qkv_out, sec_attention_qkv_out_ok)
 
                 use_pallas, interp = pallas_mode()
                 dp_o = ctx.deploy.get(base + ".to_out.0")
                 if (use_pallas and dp_o is not None
                         and dp_o.kind == "linear"
-                        and dp_o.scale_inv is not None and not dp_o.act_off
-                        and sec_attention_qkv_ok(
-                            self.heads, self.head_dim,
-                            kv_input.shape[1], kv_input.shape[2])):
+                        and dp_o.scale_inv is not None and not dp_o.act_off):
                     from ..ops.qops import act_clip_range
 
-                    codes = sec_attention_qkv(
-                        kv_input, dp_f.w_int, dp_f.scale, dp_f.bias0,
-                        dp_o.scale_inv, dp_o.zp_shifted,
-                        heads=self.heads, head_dim=self.head_dim,
-                        scale=float(self.head_dim**-0.5),
-                        interpret=interp, clip=act_clip_range(dp_o.a_bits))
-                    return QDense(self.query_dim, dtype=self.dtype,
-                                  name="to_out_0")(codes, ctx)
+                    T_, C_ = kv_input.shape[1], kv_input.shape[2]
+                    # Whole-block: + to_out int8 GEMM + bias + residual
+                    # add inside the same kernel (one op per attn1 site);
+                    # with a deferred LN the pre-norm + act-quantize fold
+                    # in too and the raw input doubles as the residual
+                    if (dp_o.w_int is not None
+                            and dp_o.w_int.dtype == jnp.int8
+                            and (ln is None or ln_foldable)
+                            and sec_attention_qkv_out_ok(
+                                self.heads, self.head_dim, T_, C_)):
+                        bias_o = _BiasParams(self.query_dim,
+                                             dtype=self.dtype,
+                                             name="to_out_0")()
+                        return sec_attention_qkv_out(
+                            kv_input, dp_f.w_int, dp_f.scale, dp_f.bias0,
+                            dp_o.scale_inv, dp_o.zp_shifted,
+                            dp_o.w_int, dp_o.scale, dp_o.bias0,
+                            bias_o.astype(jnp.float32),
+                            None if ln is not None else residual,
+                            heads=self.heads, head_dim=self.head_dim,
+                            scale=float(self.head_dim**-0.5),
+                            out_dtype=self.dtype, interpret=interp,
+                            clip=act_clip_range(dp_o.a_bits),
+                            ln_args=(ln_fold_args(ln) if ln is not None
+                                     else None))
+                    if ln is not None:
+                        kv_input = hidden_states = materialize_ln_codes(
+                            hidden_states, ln)
+                        ln = None
+                    if sec_attention_qkv_ok(self.heads, self.head_dim,
+                                            T_, C_):
+                        codes = sec_attention_qkv(
+                            kv_input, dp_f.w_int, dp_f.scale, dp_f.bias0,
+                            dp_o.scale_inv, dp_o.zp_shifted,
+                            heads=self.heads, head_dim=self.head_dim,
+                            scale=float(self.head_dim**-0.5),
+                            interpret=interp,
+                            clip=act_clip_range(dp_o.a_bits))
+                        return finish(QDense(self.query_dim,
+                                             dtype=self.dtype,
+                                             name="to_out_0")(codes, ctx))
+            if not is_cross and ln is not None:
+                # deferred LN not consumed by a whole-block kernel:
+                # materialize the consumer codes before the fused GEMM
+                kv_input = hidden_states = materialize_ln_codes(
+                    hidden_states, ln)
+                ln = None
             y = deploy_linear(kv_input, dp_f, rc, self.dtype)
             # BoS protection on cross-attn k/v (quant_block.py:585-625):
             # FP (precomputed or dequantized-weight) first-token output.
@@ -185,12 +281,14 @@ class Attention(nn.Module):
                 if (ctx.deploy_compute == "int8_sec"
                         and ctx.attn_impl == "auto"
                         and not ctx.dequant_small_m
-                        and hidden_states.dtype == jnp.int8
+                        and (hidden_states.dtype == jnp.int8
+                             or ln is not None)
                         and hidden_states.ndim == 3
                         and y.dtype != jnp.int8):
                     from ..ops import pallas_mode
                     from ..ops.pallas_sec_attention import (
-                        sec_attention_q, sec_attention_q_ok)
+                        sec_attention_q, sec_attention_q_ok,
+                        sec_attention_q_out, sec_attention_q_out_ok)
 
                     use_pallas, interp = pallas_mode()
                     dp_q = ctx.deploy.get(base + ".to_q")
@@ -202,29 +300,68 @@ class Attention(nn.Module):
                             and not dp_q.act_off
                             and dp_o is not None and dp_o.kind == "linear"
                             and dp_o.scale_inv is not None
-                            and not dp_o.act_off
-                            and sec_attention_q_ok(
-                                self.heads, self.head_dim,
-                                hidden_states.shape[1], y.shape[1],
-                                hidden_states.shape[2], 0, inner)):
+                            and not dp_o.act_off):
                         from ..ops.qops import act_clip_range
 
-                        codes = sec_attention_q(
-                            hidden_states, dp_q.w_int, dp_q.scale,
-                            dp_q.bias0, y, y, dp_o.scale_inv,
-                            dp_o.zp_shifted,
-                            heads=self.heads, head_dim=self.head_dim,
-                            scale=float(self.head_dim**-0.5),
-                            k_off=0, v_off=inner, interpret=interp,
-                            clip=act_clip_range(dp_o.a_bits))
-                        return QDense(self.query_dim, dtype=self.dtype,
-                                      name="to_out_0")(codes, ctx)
+                        Tq_, Tk_ = hidden_states.shape[1], y.shape[1]
+                        Cin_ = hidden_states.shape[2]
+                        # Whole-block: + to_out int8 GEMM + bias +
+                        # residual add inside the same kernel; deferred
+                        # LN folds in too
+                        if (dp_o.w_int is not None
+                                and dp_o.w_int.dtype == jnp.int8
+                                and (ln is None or ln_foldable)
+                                and sec_attention_q_out_ok(
+                                    self.heads, self.head_dim, Tq_, Tk_,
+                                    Cin_, 0, inner)):
+                            bias_o = _BiasParams(self.query_dim,
+                                                 dtype=self.dtype,
+                                                 name="to_out_0")()
+                            return sec_attention_q_out(
+                                hidden_states, dp_q.w_int, dp_q.scale,
+                                dp_q.bias0, y, y, dp_o.scale_inv,
+                                dp_o.zp_shifted, dp_o.w_int, dp_o.scale,
+                                dp_o.bias0, bias_o.astype(jnp.float32),
+                                None if ln is not None else residual,
+                                heads=self.heads, head_dim=self.head_dim,
+                                scale=float(self.head_dim**-0.5),
+                                k_off=0, v_off=inner,
+                                out_dtype=self.dtype, interpret=interp,
+                                clip=act_clip_range(dp_o.a_bits),
+                                ln_args=(ln_fold_args(ln) if ln is not None
+                                         else None))
+                        if ln is not None:
+                            hidden_states = materialize_ln_codes(
+                                hidden_states, ln)
+                            ln = None
+                        if sec_attention_q_ok(self.heads, self.head_dim,
+                                              Tq_, Tk_, Cin_, 0, inner):
+                            codes = sec_attention_q(
+                                hidden_states, dp_q.w_int, dp_q.scale,
+                                dp_q.bias0, y, y, dp_o.scale_inv,
+                                dp_o.zp_shifted,
+                                heads=self.heads, head_dim=self.head_dim,
+                                scale=float(self.head_dim**-0.5),
+                                k_off=0, v_off=inner, interpret=interp,
+                                clip=act_clip_range(dp_o.a_bits))
+                            return finish(QDense(self.query_dim,
+                                                 dtype=self.dtype,
+                                                 name="to_out_0")(codes,
+                                                                  ctx))
+                if ln is not None:
+                    hidden_states = materialize_ln_codes(hidden_states, ln)
+                    ln = None
                 q = QDense(inner, use_bias=False, dtype=self.dtype,
                            name="to_q")(hidden_states, ctx)
                 srcs, offs = (q, y, y), (0, 0, inner)
             else:
                 srcs, offs = (y, y, y), (0, inner, 2 * inner)
         else:
+            if ln is not None:
+                hidden_states = materialize_ln_codes(hidden_states, ln)
+                if not is_cross:
+                    kv_input = hidden_states
+                ln = None
             q = QDense(inner, use_bias=False, dtype=self.dtype, name="to_q")(
                 hidden_states, ctx)
             # BoS protection applies to cross-attn k/v over text embeddings
@@ -263,8 +400,8 @@ class Attention(nn.Module):
                     scale=float(self.head_dim**-0.5),
                     q_off=offs[0], k_off=offs[1], v_off=offs[2],
                     interpret=interp, clip=act_clip_range(dp_o.a_bits))
-                return QDense(self.query_dim, dtype=self.dtype,
-                              name="to_out_0")(codes, ctx)
+                return finish(QDense(self.query_dim, dtype=self.dtype,
+                                     name="to_out_0")(codes, ctx))
 
         if dp_f is not None:
             if is_cross:
@@ -323,7 +460,7 @@ class Attention(nn.Module):
             out = out.transpose(0, 2, 1, 3).reshape(B, Tq, inner)
 
         out = QDense(self.query_dim, dtype=self.dtype, name="to_out_0")(out, ctx)
-        return out
+        return finish(out)
 
 
 class GEGLU(nn.Module):
@@ -331,17 +468,58 @@ class GEGLU(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, ctx: QuantCtx = QuantCtx(), consumer_dp=None):
+    def __call__(self, x, ctx: QuantCtx = QuantCtx(), consumer_dp=None,
+                 out_gemm=None):
         """``consumer_dp``: the downstream ff.net.2 deploy entry — when the
         fused GEGLU kernel applies (``layers.geglu_fusable``), the proj
         GEMM + gate + that consumer's act-quantize run as ONE Pallas call
-        and the return value is the consumer's int8 codes [..., inner]."""
+        and the return value is the consumer's int8 codes [..., inner].
+
+        ``out_gemm``: (net2_bias, residual, ln) — the whole-FF kernel:
+        the ff.net.2 int8 GEMM + bias + block residual add also fold into
+        the same call and the return value is bf16 [..., dim] (the
+        updated hidden states); with ``ln`` set the pre-LayerNorm + proj
+        act-quantize fold in too (``x`` raw, doubling as the residual).
+        Callers must have checked ``geglu_out_ok``."""
         from .layers import geglu_fusable
 
         base = canonical_name(self.path)
         dp_p = (ctx.deploy.get(f"{base}.proj")
                 if ctx.mode == "int8" and ctx.deploy else None)
         if consumer_dp is not None and geglu_fusable(ctx, dp_p, consumer_dp):
+            if out_gemm is not None:
+                from ..ops import pallas_mode
+                from ..ops.pallas_qmatmul import geglu_out_qmatmul
+                from ..ops.qops import act_clip_range, quantize_per_tensor
+
+                net2_bias, residual, ln = out_gemm
+                bias_p = _BiasParams(self.inner_dim * 2, dtype=self.dtype,
+                                     name="proj")()
+                if ln is not None:
+                    codes = x.astype(self.dtype)  # raw input, LN in-kernel
+                else:
+                    codes = (x if x.dtype == jnp.int8
+                             else quantize_per_tensor(
+                                 x.astype(self.dtype), dp_p.scale_inv,
+                                 dp_p.zp_shifted,
+                                 *act_clip_range(dp_p.a_bits)))
+                lead = codes.shape[:-1]
+                C_out = consumer_dp.w_int.shape[1]
+                out = geglu_out_qmatmul(
+                    codes.reshape(-1, codes.shape[-1]), dp_p.w_int,
+                    dp_p.scale, dp_p.bias0, consumer_dp.scale_inv,
+                    consumer_dp.zp_shifted, consumer_dp.w_int,
+                    consumer_dp.scale, consumer_dp.bias0,
+                    bias=bias_p.astype(jnp.float32),
+                    out_bias=(None if net2_bias is None
+                              else net2_bias.astype(jnp.float32)),
+                    residual=(None if residual is None or ln is not None
+                              else residual.reshape(-1, C_out)),
+                    gelu_tanh=(ctx.gelu == "tanh"),
+                    clip=act_clip_range(consumer_dp.a_bits),
+                    out_dtype=self.dtype, interpret=pallas_mode()[1],
+                    ln_args=(ln_fold_args(ln) if ln is not None else None))
+                return out.reshape(*lead, C_out)
             return QDense(self.inner_dim * 2, dtype=self.dtype,
                           name="proj")(x, ctx, geglu_out=consumer_dp)
         h = QDense(self.inner_dim * 2, dtype=self.dtype, name="proj")(x, ctx)
@@ -357,14 +535,45 @@ class FeedForward(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, ctx: QuantCtx = QuantCtx()):
+    def __call__(self, x, ctx: QuantCtx = QuantCtx(), residual=None,
+                 ln=None):
+        """``residual``: the transformer block's residual stream. When
+        given, the return value is ``residual + ff_delta`` — inside the
+        whole-FF kernel epilogue on the int8_sec path, via
+        ``deploy_res_add`` otherwise. ``ln``: deferred pre-LayerNorm
+        (see ``Attention.__call__``)."""
         inner = self.dim * self.mult
         base = canonical_name(self.path)
         dp_2 = (ctx.deploy.get(f"{base}.net.2")
                 if ctx.mode == "int8" and ctx.deploy else None)
+        dp_p = (ctx.deploy.get(f"{base}.net.0.proj")
+                if ctx.mode == "int8" and ctx.deploy else None)
+        # Whole-FF kernel: GEGLU + ff.net.2 GEMM + bias + residual add in
+        # one call (one op per ff site); deferred LN folds in too
+        from .layers import geglu_fusable
+
+        if (dp_2 is not None and geglu_fusable(ctx, dp_p, dp_2)
+                and dp_2.w_int is not None and dp_2.w_int.dtype == jnp.int8):
+            from ..ops.pallas_qmatmul import geglu_out_ok
+
+            M = x.size // x.shape[-1]
+            K, C_out = x.shape[-1], dp_2.w_int.shape[1]
+            ln_foldable = (ln is not None and residual is x
+                           and K % 128 == 0 and C_out == K)
+            if (ln is None or ln_foldable) and geglu_out_ok(M, K, inner,
+                                                            C_out):
+                bias2 = _BiasParams(self.dim, dtype=self.dtype,
+                                    name="net_2")()
+                return GEGLU(inner, dtype=self.dtype, name="net_0")(
+                    x, ctx, consumer_dp=dp_2,
+                    out_gemm=(bias2, residual, ln))
+        if ln is not None:
+            x = materialize_ln_codes(x, ln)
         x = GEGLU(inner, dtype=self.dtype, name="net_0")(x, ctx,
                                                          consumer_dp=dp_2)
         x = QDense(self.dim, dtype=self.dtype, name="net_2")(x, ctx)
+        if residual is not None:
+            return deploy_res_add(residual, x, ctx)
         return x
 
 
@@ -376,21 +585,23 @@ class BasicTransformerBlock(nn.Module):
     dtype: Any = jnp.float32
 
     def _ln(self, x, idx: int, consumer: Optional[str], ctx: QuantCtx):
-        """Pre-LayerNorm producing either bf16 (plain path) or the
-        consumer dense layer's int8 codes (fused int8_sec path)."""
+        """Pre-LayerNorm: plain bf16 LayerNorm, or — when the consumer
+        dense layer is int8_sec-fusable — DEFERRED: returns the raw input
+        plus ``(gamma, beta, consumer_entry)`` so the sub-module can fold
+        the LN + act-quantize into its whole-block kernel (falling back
+        to the standalone ln_quantize producer kernel)."""
         dp = fused_ln_entry(ctx, consumer)
         if dp is not None:
-            from ..ops import pallas_mode
-            from ..ops.pallas_ln_quant import ln_quantize
-
-            from ..ops.qops import act_clip_range
+            import os
 
             gamma, beta = _LNParams(x.shape[-1], name=f"norm{idx}")()
-            return ln_quantize(x, gamma, beta, dp.scale_inv, dp.zp_shifted,
-                               interpret=pallas_mode()[1],
-                               clip=act_clip_range(dp.a_bits))
+            if os.environ.get("MIXDQ_SEC_LNFOLD", "1") == "0":
+                # A/B knob: standalone producer kernel instead of the
+                # in-kernel LN fold (trace-time switch, bench only)
+                return materialize_ln_codes(x, (gamma, beta, dp)), None
+            return x, (gamma, beta, dp)
         return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
-                            name=f"norm{idx}")(x)
+                            name=f"norm{idx}")(x), None
 
     @nn.compact
     def __call__(self, hidden_states, encoder_hidden_states,
@@ -400,23 +611,25 @@ class BasicTransformerBlock(nn.Module):
         # (norm1 only when the fused to_qkv entry guarantees ONE shared
         # act scale across q/k/v; norm2 feeds attn2.to_q alone; norm3
         # feeds ff.net.0.proj alone)
-        h = self._ln(hidden_states, 1,
-                     f"{base}.attn1.to_qkv" if ctx.fuse_qkv else None, ctx)
-        hidden_states = deploy_res_add(hidden_states, Attention(
+        h, ln1 = self._ln(hidden_states, 1,
+                          f"{base}.attn1.to_qkv" if ctx.fuse_qkv else None,
+                          ctx)
+        # the residual add rides Attention: inside the whole-block kernel
+        # epilogue on the int8_sec path, deploy_res_add otherwise
+        hidden_states = Attention(
             self.dim, self.heads, self.head_dim, dtype=self.dtype, name="attn1"
-        )(h, None, ctx), ctx)
+        )(h, None, ctx, residual=hidden_states, ln=ln1)
 
-        h = self._ln(hidden_states, 2, f"{base}.attn2.to_q", ctx)
-        hidden_states = deploy_res_add(hidden_states, Attention(
+        h, ln2 = self._ln(hidden_states, 2, f"{base}.attn2.to_q", ctx)
+        hidden_states = Attention(
             self.dim, self.heads, self.head_dim,
             cross_attention_dim=self.cross_attention_dim,
             dtype=self.dtype, name="attn2",
-        )(h, encoder_hidden_states, ctx), ctx)
+        )(h, encoder_hidden_states, ctx, residual=hidden_states, ln=ln2)
 
-        h = self._ln(hidden_states, 3, f"{base}.ff.net.0.proj", ctx)
-        hidden_states = deploy_res_add(
-            hidden_states,
-            FeedForward(self.dim, dtype=self.dtype, name="ff")(h, ctx), ctx)
+        h, ln3 = self._ln(hidden_states, 3, f"{base}.ff.net.0.proj", ctx)
+        hidden_states = FeedForward(self.dim, dtype=self.dtype, name="ff")(
+            h, ctx, residual=hidden_states, ln=ln3)
         return hidden_states
 
 

@@ -291,21 +291,17 @@ def qmatmul_fused2(
 # ---------------------------------------------------------------------------
 
 
-def _geglu_kernel(x_ref, wv_ref, wg_ref, qc_ref, sv_ref, b0v_ref, sg_ref,
-                  b0g_ref, bv_ref, bg_ref, o_ref, *, gelu_tanh):
-    """One grid step computes BOTH GEMM halves of one output block of the
-    GEGLU projection (value columns j, gate columns H+j), applies the
-    dequant epilogues, the gate ``v * gelu(g)``, and emits the DOWNSTREAM
-    (ff.net.2) layer's int8 act codes. The [M, 2H] bf16 projection output
-    never exists: the unfused path writes it (5.2 MB at the 256-token
-    level), re-reads it in the gate+quantize fusion, and writes the codes
-    — all deleted here. qc = [scale_inv, zp_shifted, clip_lo, clip_hi] of
-    the consumer's act quantizer (SMEM)."""
+def _geglu_codes(x, wv_ref, wg_ref, qc_ref, sv_ref, b0v_ref, sg_ref,
+                 b0g_ref, bv_ref, bg_ref, *, gelu_tanh):
+    """Both GEMM halves of one GEGLU output block (value columns j, gate
+    columns H+j), dequant epilogues, the gate ``v * gelu(g)``, and the
+    DOWNSTREAM (ff.net.2) layer's act-quantize. Returns the s8 codes.
+    ``x`` is the s8 codes VALUE [bm, K] (callers read their ref)."""
     accv = jax.lax.dot_general(
-        x_ref[:], wv_ref[:], (((1,), (0,)), ((), ())),
+        x, wv_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32)
     accg = jax.lax.dot_general(
-        x_ref[:], wg_ref[:], (((1,), (0,)), ((), ())),
+        x, wg_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32)
     v = (accv - b0v_ref[:].astype(jnp.int32)).astype(jnp.float32) * sv_ref[:]
     g = (accg - b0g_ref[:].astype(jnp.int32)).astype(jnp.float32) * sg_ref[:]
@@ -314,7 +310,20 @@ def _geglu_kernel(x_ref, wv_ref, wg_ref, qc_ref, sv_ref, b0v_ref, sg_ref,
         g = g + bg_ref[:]
     y = v * jax.nn.gelu(g, approximate=gelu_tanh)
     codes = jnp.round(y * qc_ref[0]) + qc_ref[1]
-    o_ref[:] = jnp.clip(codes, qc_ref[2], qc_ref[3]).astype(jnp.int8)
+    return jnp.clip(codes, qc_ref[2], qc_ref[3]).astype(jnp.int8)
+
+
+def _geglu_kernel(x_ref, wv_ref, wg_ref, qc_ref, sv_ref, b0v_ref, sg_ref,
+                  b0g_ref, bv_ref, bg_ref, o_ref, *, gelu_tanh):
+    """One grid step emits one block of the consumer's int8 act codes.
+    The [M, 2H] bf16 projection output never exists: the unfused path
+    writes it (5.2 MB at the 256-token level), re-reads it in the
+    gate+quantize fusion, and writes the codes — all deleted here.
+    qc = [scale_inv, zp_shifted, clip_lo, clip_hi] of the consumer's act
+    quantizer (SMEM)."""
+    o_ref[:] = _geglu_codes(x_ref[:], wv_ref, wg_ref, qc_ref, sv_ref,
+                            b0v_ref, sg_ref, b0g_ref, bv_ref, bg_ref,
+                            gelu_tanh=gelu_tanh)
 
 
 def _geglu_kernel_nobias(x_ref, wv_ref, wg_ref, qc_ref, sv_ref, b0v_ref,
@@ -418,6 +427,274 @@ def geglu_qmatmul(
         interpret=interpret,
     )(*args)
     return out[:M, :H]
+
+
+# ---------------------------------------------------------------------------
+# Whole-FF kernel: GEGLU + the ff.net.2 int8 GEMM + bias + residual add
+# ---------------------------------------------------------------------------
+
+
+def _geglu_out_kernel(x_ref, wv_ref, wg_ref, qc_ref, sv_ref, b0v_ref,
+                      sg_ref, b0g_ref, w2_ref, s2_ref, b02_ref,
+                      bv_ref, bg_ref, b2_ref, res_ref, o_ref, acc_ref, *,
+                      gelu_tanh):
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+    codes = _geglu_codes(x_ref[:], wv_ref, wg_ref, qc_ref, sv_ref, b0v_ref,
+                         sg_ref, b0g_ref, bv_ref, bg_ref,
+                         gelu_tanh=gelu_tanh)
+    part = jax.lax.dot_general(codes, w2_ref[...], (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.int32)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[...] = part
+
+    @pl.when(j > 0)
+    def _acc():
+        acc_ref[...] += part
+
+    @pl.when(j == nj - 1)
+    def _epilogue():
+        out = (acc_ref[...].astype(jnp.float32) - b02_ref[:]) * s2_ref[:]
+        if b2_ref is not None:
+            out = out + b2_ref[:]
+        if res_ref is not None:
+            out = out + res_ref[...].astype(jnp.float32)
+        o_ref[...] = out.astype(o_ref.dtype)
+
+
+def _geglu_lnout_kernel(h_ref, g_ref, be_ref, wv_ref, wg_ref, qc_ref,
+                        sv_ref, b0v_ref, sg_ref, b0g_ref, w2_ref, s2_ref,
+                        b02_ref, bv_ref, bg_ref, b2_ref, o_ref, acc_ref,
+                        codes_ref, *, gelu_tanh, eps):
+    """LN-folded whole-FF: the pre-LayerNorm + proj act-quantize run
+    in-kernel (once per M-tile into a persistent s8 scratch); the raw
+    block input doubles as the residual."""
+    from .pallas_sec_attention import _ln_codes
+
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _produce():
+        codes_ref[...] = _ln_codes(h_ref[:], g_ref, be_ref, qc_ref, eps=eps)
+
+    codes = _geglu_codes(codes_ref[...], wv_ref, wg_ref, qc_ref, sv_ref,
+                         b0v_ref, sg_ref, b0g_ref, bv_ref, bg_ref,
+                         gelu_tanh=gelu_tanh)
+    part = jax.lax.dot_general(codes, w2_ref[...], (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.int32)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[...] = part
+
+    @pl.when(j > 0)
+    def _acc():
+        acc_ref[...] += part
+
+    @pl.when(j == nj - 1)
+    def _epilogue():
+        out = (acc_ref[...].astype(jnp.float32) - b02_ref[:]) * s2_ref[:]
+        if b2_ref is not None:
+            out = out + b2_ref[:]
+        out = out + h_ref[:].astype(jnp.float32)
+        o_ref[...] = out.astype(o_ref.dtype)
+
+
+def _geglu_out_pick(M: int, K: int, H: int, C: int):
+    """(bm, bn) for the whole-FF kernel. Prefers bm = M (the ff.net.2
+    weight then streams exactly once); bn follows the geglu tune."""
+    Kp = _round_up(K, 128)
+    bn0 = 1280 if M <= 256 else 512
+
+    def vmem(bm_, bn_):
+        return (2 * bm_ * Kp               # x codes block (+twin)
+                + 2 * 2 * Kp * bn_         # value/gate weight panels, dbl
+                + 12 * bm_ * bn_           # f32 v/g/y temporaries
+                + bm_ * bn_                # s8 codes
+                + 2 * bn_ * C              # w2 panel, dbl-buf (s8)
+                + 4 * bm_ * C              # int32 accumulator scratch
+                + 2 * 2 * bm_ * C)         # out bf16 + residual block
+
+    for bm in [m for m in (M, 1024, 512, 256, 128, 64, 32) if m <= M]:
+        for bn in (bn0, 512, 256):
+            if vmem(bm, bn) <= 12 * 2**20:
+                return bm, bn
+    return 0, 0
+
+
+def geglu_out_ok(M: int, K: int, H: int, C: int) -> bool:
+    """Static gate for the whole-FF kernel."""
+    if C % 128 or M < 8:
+        return False
+    return _geglu_out_pick(M, K, H, C)[0] > 0
+
+
+def geglu_out_qmatmul(
+    x_int8: jnp.ndarray,  # [M, K] int8 codes of the proj layer
+    w_int8: jnp.ndarray,  # [K, 2H] int8 (value cols [:H], gate cols [H:])
+    scale: jnp.ndarray,  # [2H] f32 = s_w * s_a of the proj layer
+    bias0: jnp.ndarray,  # [2H] f32
+    mid_scale_inv: jnp.ndarray,  # 0-d: 1/s_a of the consumer (ff.net.2)
+    mid_zp_shifted: jnp.ndarray,  # 0-d: consumer zp - 128
+    w2_int8: jnp.ndarray,  # [H, C] ff.net.2 int8 weight
+    out_scale: jnp.ndarray,  # [C] f32 = s_w * s_a of ff.net.2
+    out_bias0: jnp.ndarray,  # [C] f32
+    bias: Optional[jnp.ndarray] = None,  # [2H] f32 proj bias
+    out_bias: Optional[jnp.ndarray] = None,  # [C] f32 ff.net.2 bias
+    residual: Optional[jnp.ndarray] = None,  # [M, C]
+    gelu_tanh: bool = True,
+    clip: tuple = (-128.0, 127.0),
+    out_dtype=jnp.bfloat16,
+    interpret: bool = False,
+    ln_args=None,
+) -> jnp.ndarray:
+    """Whole feed-forward in ONE call: GEGLU projection int8 GEMMs + gate
+    + the consumer act-quantize + the ff.net.2 int8 GEMM + bias + block
+    residual add. Returns bf16 [M, C]. The net.2 contraction accumulates
+    over the H-panel grid into an int32 VMEM scratch (same integer math
+    as the unfused chain — bit-identical codes feed the same qlinear
+    epilogue). The reference runs proj GEMM, eager gate, quantize, and
+    the net.2 GEMM as four launches (nn/Linear.py:154-177).
+
+    ``ln_args`` = (gamma, beta, x_scale_inv, x_zp_shifted, x_clip, eps):
+    LN-folded mode — ``x_int8`` is then the RAW bf16 block input [M, K]
+    (K == C required); the pre-LayerNorm + proj act-quantize run
+    in-kernel and the same input doubles as the residual.
+
+    NOT @jax.jit-decorated (DESIGN_NOTES round-4 nested-jit pathology)."""
+    M, K = x_int8.shape
+    K2, N2 = w_int8.shape
+    assert K == K2 and N2 % 2 == 0
+    H = N2 // 2
+    H2, C = w2_int8.shape
+    assert H2 == H, (H2, H)
+    assert C % 128 == 0, C
+    Kp = _round_up(K, 128)
+    if ln_args is not None:
+        assert residual is None, "LN-folded mode: the input IS the residual"
+        assert x_int8.dtype != jnp.int8
+        assert Kp == K and C == K, (K, C)
+    bm, bn = _geglu_out_pick(M, K, H, C)
+    assert bm > 0, (M, K, H, C)
+    bm = _fit_block(M, bm, 32 if M < 128 else 128)
+    bn = _fit_block(H, bn)
+    Mp, Hp = _round_up(M, bm), _round_up(H, bn)
+    if (Mp, Kp) != (M, K):
+        x_int8 = jnp.pad(x_int8, ((0, Mp - M), (0, Kp - K)))
+    if Hp != H or Kp != K:
+        wv = jnp.pad(w_int8[:, :H], ((0, Kp - K), (0, Hp - H)))
+        wg = jnp.pad(w_int8[:, H:], ((0, Kp - K), (0, Hp - H)))
+        w_int8 = jnp.concatenate([wv, wg], axis=1)
+        pad1 = lambda a: jnp.pad(a.reshape(2, H), ((0, 0), (0, Hp - H)))\
+            .reshape(-1)
+        scale = pad1(scale)
+        bias0 = pad1(bias0)
+        if bias is not None:
+            bias = pad1(bias)
+        # padded H columns emit the zp code, but their w2 rows are ZERO,
+        # so they contribute nothing to the net.2 accumulation
+        w2_int8 = jnp.pad(w2_int8, ((0, Hp - H), (0, 0)))
+    if residual is not None and Mp != M:
+        residual = jnp.pad(residual, ((0, Mp - M), (0, 0)))
+
+    qvals = [jnp.asarray(mid_scale_inv, jnp.float32).reshape(()),
+             jnp.asarray(mid_zp_shifted, jnp.float32).reshape(()),
+             jnp.float32(clip[0]), jnp.float32(clip[1])]
+    if ln_args is not None:
+        _, _, x_si, x_zp, x_clip, _ = ln_args
+        qvals += [jnp.asarray(x_si, jnp.float32).reshape(()),
+                  jnp.asarray(x_zp, jnp.float32).reshape(()),
+                  jnp.float32(x_clip[0]), jnp.float32(x_clip[1])]
+    qc = jnp.stack(qvals)
+    nj = Hp // bn
+    grid = (Mp // bm, nj)
+    vspec = lambda off: pl.BlockSpec((1, bn), lambda i, j: (0, off + j),
+                                     memory_space=pltpu.VMEM)
+    cvec = lambda: pl.BlockSpec((1, C), lambda i, j: (0, 0),
+                                memory_space=pltpu.VMEM)
+    xspec = pl.BlockSpec((bm, Kp), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM)
+    in_specs = [xspec]
+    args = [x_int8]
+    if ln_args is not None:
+        in_specs += [cvec(), cvec()]
+        args += [ln_args[0].reshape(1, K).astype(jnp.float32),
+                 ln_args[1].reshape(1, K).astype(jnp.float32)]
+    in_specs += [
+        pl.BlockSpec((Kp, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((Kp, bn), lambda i, j: (0, nj + j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        vspec(0), vspec(0), vspec(nj), vspec(nj),
+        pl.BlockSpec((bn, C), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+        cvec(), cvec(),
+    ]
+    args += [w_int8, w_int8, qc,
+             scale.reshape(1, -1), bias0.reshape(1, -1),
+             scale.reshape(1, -1), bias0.reshape(1, -1),
+             w2_int8, out_scale.reshape(1, C).astype(jnp.float32),
+             out_bias0.reshape(1, C).astype(jnp.float32)]
+    has_b, has_b2, has_r = (bias is not None, out_bias is not None,
+                            residual is not None)
+    if has_b:
+        in_specs += [vspec(0), vspec(nj)]
+        args += [bias.reshape(1, -1), bias.reshape(1, -1)]
+    if has_b2:
+        in_specs.append(cvec())
+        args.append(out_bias.reshape(1, C).astype(jnp.float32))
+    if has_r:
+        in_specs.append(pl.BlockSpec((bm, C), lambda i, j: (i, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(residual)
+
+    n_fixed = 11 if ln_args is None else 13
+    scratch = [pltpu.VMEM((bm, C), jnp.int32)]
+    if ln_args is not None:
+        scratch.append(pltpu.VMEM((bm, Kp), jnp.int8))
+
+    def kern(*refs):
+        if ln_args is None:
+            fixed = list(refs[:n_fixed])
+            rest = list(refs[n_fixed:-2])
+            o_r, acc_r = refs[-2], refs[-1]
+            bv_r = rest.pop(0) if has_b else None
+            bg_r = rest.pop(0) if has_b else None
+            b2_r = rest.pop(0) if has_b2 else None
+            res_r = rest.pop(0) if has_r else None
+            _geglu_out_kernel(*fixed, bv_r, bg_r, b2_r, res_r, o_r, acc_r,
+                              gelu_tanh=gelu_tanh)
+        else:
+            fixed = list(refs[:n_fixed])
+            rest = list(refs[n_fixed:-3])
+            o_r, acc_r, codes_r = refs[-3], refs[-2], refs[-1]
+            bv_r = rest.pop(0) if has_b else None
+            bg_r = rest.pop(0) if has_b else None
+            b2_r = rest.pop(0) if has_b2 else None
+            _geglu_lnout_kernel(*fixed, bv_r, bg_r, b2_r, o_r, acc_r,
+                                codes_r, gelu_tanh=gelu_tanh,
+                                eps=float(ln_args[5]))
+
+    out = pl.pallas_call(
+        kern,
+        name=("geglu_out_qmatmul" if ln_args is None
+              else "geglu_lnout_qmatmul"),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((bm, C), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Mp, C), out_dtype),
+        scratch_shapes=scratch,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * Mp * Hp * Kp + 2 * Mp * Hp * C,
+            bytes_accessed=(Mp * Kp + 2 * Kp * Hp
+                            + (Mp // bm) * Hp * C + 3 * Mp * C),
+            transcendentals=Mp * Hp),
+        interpret=interpret,
+    )(*args)
+    return out[:M]
 
 
 @functools.partial(jax.jit, static_argnames=("bm", "bn", "bk", "out_dtype",

@@ -300,6 +300,20 @@ def sec_attention_q(
     return out
 
 
+def _ln_codes(h, g_ref, be_ref, cst_ref, *, eps):
+    """In-kernel pre-LayerNorm + consumer act-quantize (the whole-block
+    kernels' producer stage): same math as ``pallas_ln_quant._kernel``.
+    ``cst_ref[4:8]`` = [x_scale_inv, x_zp_shifted, x_clip_lo, x_clip_hi]
+    of the consumer projection's act quantizer."""
+    xf = h.astype(jnp.float32)  # [T, C]
+    mean = jnp.mean(xf, axis=1, keepdims=True)
+    var = jnp.mean(xf * xf, axis=1, keepdims=True) - mean * mean
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = y * g_ref[...] + be_ref[...]
+    q = jnp.round(y * cst_ref[4]) + cst_ref[5]
+    return jnp.clip(q, cst_ref[6], cst_ref[7]).astype(jnp.int8)
+
+
 def _pick_row_chunk(Tq: int, Tk: int) -> int:
     """Tq row tile for the whole-block kernels: halve until the f32
     logits tile [chunk, Tk] is <= 1 MB (s and p together ~2 MB)."""
@@ -508,6 +522,75 @@ def _sec_qkv_out_kernel(cst_ref, x_ref, wq_ref, wk_ref, wv_ref,
                          res_ref, o_ref, acc_ref)
 
 
+def _sec_qkv_lnout_kernel(cst_ref, h_ref, g_ref, be_ref, wq_ref, wk_ref,
+                          wv_ref, sq_ref, bq_ref, sk_ref, bk_ref, sv_ref,
+                          bv_ref, wout_ref, so_ref, b0o_ref, bo_ref,
+                          o_ref, acc_ref, codes_ref, *, g, d, scale,
+                          row_chunk, eps):
+    """LN-folded whole-block self-attention: the pre-LayerNorm + consumer
+    act-quantize run in-kernel (once, on the first head panel, into a
+    persistent s8 scratch); the raw block input doubles as the residual."""
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _produce():
+        codes_ref[...] = _ln_codes(h_ref[0], g_ref, be_ref, cst_ref, eps=eps)
+
+    x = codes_ref[...]
+
+    def proj(w_ref, s_ref, b_ref):
+        acc = jax.lax.dot_general(x, w_ref[...], (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.int32)
+        y = (acc.astype(jnp.float32) - b_ref[...]) * s_ref[...]
+        return y.astype(jnp.bfloat16)
+
+    codes = _attend_codes(cst_ref, proj(wq_ref, sq_ref, bq_ref),
+                          proj(wk_ref, sk_ref, bk_ref),
+                          proj(wv_ref, sv_ref, bv_ref),
+                          g=g, d=d, scale=scale, row_chunk=row_chunk)
+    _out_proj_accumulate(j, nj, codes, wout_ref, so_ref, b0o_ref, bo_ref,
+                         h_ref, o_ref, acc_ref)
+
+
+def _sec_q_lnout_kernel(cst_ref, h_ref, g_ref, be_ref, wq_ref, sq_ref,
+                        bq_ref, k_ref, v_ref, wout_ref, so_ref, b0o_ref,
+                        bo_ref, o_ref, acc_ref, codes_ref, *, g, d, scale,
+                        row_chunk, eps):
+    """LN-folded whole-block cross-attention (see _sec_qkv_lnout_kernel)."""
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _produce():
+        codes_ref[...] = _ln_codes(h_ref[0], g_ref, be_ref, cst_ref, eps=eps)
+
+    x = codes_ref[...]
+    k = k_ref[0]
+    acc = jax.lax.dot_general(x, wq_ref[...], (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    q = ((acc.astype(jnp.float32) - bq_ref[...]) * sq_ref[...]).astype(k.dtype)
+    codes = _attend_codes(cst_ref, q, k, v_ref[0], g=g, d=d, scale=scale,
+                          row_chunk=row_chunk)
+    _out_proj_accumulate(j, nj, codes, wout_ref, so_ref, b0o_ref, bo_ref,
+                         h_ref, o_ref, acc_ref)
+
+
+def _block_consts(mid_scale_inv, mid_zp_shifted, clip, ln_args):
+    """SMEM consts vector for the whole-block kernels: 4 to_out
+    act-quantize entries, + 4 consumer-projection act-quantize entries in
+    LN-folded mode."""
+    vals = [jnp.asarray(mid_scale_inv, jnp.float32).reshape(()),
+            jnp.asarray(mid_zp_shifted, jnp.float32).reshape(()),
+            jnp.float32(clip[0]), jnp.float32(clip[1])]
+    if ln_args is not None:
+        _, _, x_si, x_zp, x_clip, _ = ln_args
+        vals += [jnp.asarray(x_si, jnp.float32).reshape(()),
+                 jnp.asarray(x_zp, jnp.float32).reshape(()),
+                 jnp.float32(x_clip[0]), jnp.float32(x_clip[1])]
+    return jnp.stack(vals)
+
+
 def _sec_q_out_kernel(cst_ref, x_ref, wq_ref, sq_ref, bq_ref, k_ref, v_ref,
                       wout_ref, so_ref, b0o_ref, bo_ref, res_ref,
                       o_ref, acc_ref, *, g, d, scale, row_chunk):
@@ -581,11 +664,19 @@ def sec_attention_qkv_out(
     interpret: bool = False,
     clip: tuple = (-128.0, 127.0),
     hpp_override: int = 0,
+    ln_args=None,
 ) -> jnp.ndarray:
     """Whole-block self-attention: int8 qkv GEMM + MHA + to_out
     act-quantize + int8 to_out GEMM + bias + residual add in ONE call.
     Returns bf16 [B, T, C] (the transformer block's updated hidden
-    states). NOT @jax.jit-decorated (DESIGN_NOTES round-4 findings)."""
+    states). NOT @jax.jit-decorated (DESIGN_NOTES round-4 findings).
+
+    ``ln_args`` = (gamma, beta, x_scale_inv, x_zp_shifted, x_clip, eps):
+    LN-folded mode — ``x_codes`` is then the RAW bf16 block input
+    [B, T, C]; the pre-LayerNorm + consumer act-quantize run in-kernel
+    and the same input doubles as the residual (``residual`` must be
+    None). Removes the standalone ln_quantize op and its s8 codes HBM
+    round-trip per site."""
     B, T, C = x_codes.shape
     d = head_dim
     assert w_int8.shape == (C, 3 * C), (w_int8.shape, C)
@@ -596,10 +687,11 @@ def sec_attention_qkv_out(
     hpp = hpp_override or _sec_qkv_out_pick_hpp(heads, d, T, C)
     W = 128 * hpp
     nw = C // W
+    if ln_args is not None:
+        assert residual is None, "LN-folded mode: the input IS the residual"
+        assert x_codes.dtype != jnp.int8
 
-    consts = jnp.stack([jnp.asarray(mid_scale_inv, jnp.float32).reshape(()),
-                        jnp.asarray(mid_zp_shifted, jnp.float32).reshape(()),
-                        jnp.float32(clip[0]), jnp.float32(clip[1])])
+    consts = _block_consts(mid_scale_inv, mid_zp_shifted, clip, ln_args)
     s2 = w_scale.reshape(1, 3 * C).astype(jnp.float32)
     b2 = bias0.reshape(1, 3 * C).astype(jnp.float32)
     wspec = lambda p: pl.BlockSpec((C, W), lambda b, j, p=p: (0, p * nw + j),
@@ -608,10 +700,16 @@ def sec_attention_qkv_out(
                                    memory_space=pltpu.VMEM)
     cvec = lambda: pl.BlockSpec((1, C), lambda b, j: (0, 0),
                                 memory_space=pltpu.VMEM)
-    in_specs = [
-        pl.BlockSpec(memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, T, C), lambda b, j: (b, 0, 0),
-                     memory_space=pltpu.VMEM),
+    xspec = pl.BlockSpec((1, T, C), lambda b, j: (b, 0, 0),
+                         memory_space=pltpu.VMEM)
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM), xspec]
+    args = [consts, x_codes]
+    if ln_args is not None:
+        gamma, beta = ln_args[0], ln_args[1]
+        in_specs += [cvec(), cvec()]
+        args += [gamma.reshape(1, C).astype(jnp.float32),
+                 beta.reshape(1, C).astype(jnp.float32)]
+    in_specs += [
         wspec(0), wspec(1), wspec(2),
         vspec(0), vspec(0), vspec(1), vspec(1), vspec(2), vspec(2),
         # to_out weight: row panel j contributes codes[:, jW:(j+1)W] @
@@ -619,40 +717,53 @@ def sec_attention_qkv_out(
         pl.BlockSpec((W, C), lambda b, j: (j, 0), memory_space=pltpu.VMEM),
         cvec(), cvec(),
     ]
-    args = [consts, x_codes, w_int8, w_int8, w_int8, s2, b2, s2, b2, s2, b2,
-            wout_int8, out_scale.reshape(1, C).astype(jnp.float32),
-            out_bias0.reshape(1, C).astype(jnp.float32)]
+    args += [w_int8, w_int8, w_int8, s2, b2, s2, b2, s2, b2,
+             wout_int8, out_scale.reshape(1, C).astype(jnp.float32),
+             out_bias0.reshape(1, C).astype(jnp.float32)]
     has_bias, has_res = out_bias is not None, residual is not None
     if has_bias:
         in_specs.append(cvec())
         args.append(out_bias.reshape(1, C).astype(jnp.float32))
     if has_res:
-        in_specs.append(pl.BlockSpec((1, T, C), lambda b, j: (b, 0, 0),
-                                     memory_space=pltpu.VMEM))
+        in_specs.append(xspec)
         args.append(residual)
 
     rc = _pick_row_chunk(T, T)
+    n_fixed = 14 if ln_args is None else 16
+    scratch = [pltpu.VMEM((T, C), jnp.int32)]
+    if ln_args is not None:
+        scratch.append(pltpu.VMEM((T, C), jnp.int8))
 
     def kern(*refs):
-        fixed = list(refs[:14])
-        rest = list(refs[14:-2])
-        o_r, acc_r = refs[-2], refs[-1]
-        bo_r = rest.pop(0) if has_bias else None
-        res_r = rest.pop(0) if has_res else None
-        _sec_qkv_out_kernel(*fixed, bo_r, res_r, o_r, acc_r,
-                            g=g * hpp, d=d, scale=float(scale),
-                            row_chunk=rc)
+        if ln_args is None:
+            fixed = list(refs[:n_fixed])
+            rest = list(refs[n_fixed:-2])
+            o_r, acc_r = refs[-2], refs[-1]
+            bo_r = rest.pop(0) if has_bias else None
+            res_r = rest.pop(0) if has_res else None
+            _sec_qkv_out_kernel(*fixed, bo_r, res_r, o_r, acc_r,
+                                g=g * hpp, d=d, scale=float(scale),
+                                row_chunk=rc)
+        else:
+            fixed = list(refs[:n_fixed])
+            rest = list(refs[n_fixed:-3])
+            o_r, acc_r, codes_r = refs[-3], refs[-2], refs[-1]
+            bo_r = rest.pop(0) if has_bias else None
+            _sec_qkv_lnout_kernel(*fixed, bo_r, o_r, acc_r, codes_r,
+                                  g=g * hpp, d=d, scale=float(scale),
+                                  row_chunk=rc, eps=float(ln_args[5]))
 
     grid = (B, nj // hpp)
     out = pl.pallas_call(
         kern,
-        name="sec_attention_qkv_out",
+        name=("sec_attention_qkv_out" if ln_args is None
+              else "sec_attention_qkv_lnout"),
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, T, C), lambda b, j: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, T, C), out_dtype),
-        scratch_shapes=[pltpu.VMEM((T, C), jnp.int32)],
+        scratch_shapes=scratch,
         cost_estimate=pl.CostEstimate(
             flops=(2 * B * T * C * 3 * C + 4 * B * heads * T * T * d
                    + 2 * B * T * C * C),
@@ -724,11 +835,14 @@ def sec_attention_q_out(
     interpret: bool = False,
     clip: tuple = (-128.0, 127.0),
     hpp_override: int = 0,
+    ln_args=None,
 ) -> jnp.ndarray:
     """Whole-block cross-attention: int8 to_q GEMM + MHA over the
     (BoS-protected) k/v panels + to_out act-quantize + int8 to_out GEMM
     + bias + residual add in ONE call. Returns bf16 [B, Tq, C_in].
-    NOT @jax.jit-decorated (DESIGN_NOTES round-4 findings)."""
+    NOT @jax.jit-decorated (DESIGN_NOTES round-4 findings).
+
+    ``ln_args``: LN-folded mode, see ``sec_attention_qkv_out``."""
     B, Tq, C_in = x_codes.shape
     d = head_dim
     C = heads * d
@@ -742,18 +856,25 @@ def sec_attention_q_out(
     hpp = hpp_override or _sec_q_out_pick_hpp(heads, d, Tq, Tk, C_in,
                                               k_off, v_off)
     W = 128 * hpp
+    if ln_args is not None:
+        assert residual is None, "LN-folded mode: the input IS the residual"
+        assert x_codes.dtype != jnp.int8
 
-    consts = jnp.stack([jnp.asarray(mid_scale_inv, jnp.float32).reshape(()),
-                        jnp.asarray(mid_zp_shifted, jnp.float32).reshape(()),
-                        jnp.float32(clip[0]), jnp.float32(clip[1])])
+    consts = _block_consts(mid_scale_inv, mid_zp_shifted, clip, ln_args)
     s2 = wq_scale.reshape(1, C).astype(jnp.float32)
     b2 = bias0.reshape(1, C).astype(jnp.float32)
     cvec = lambda: pl.BlockSpec((1, C_in), lambda b, j: (0, 0),
                                 memory_space=pltpu.VMEM)
-    in_specs = [
-        pl.BlockSpec(memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, Tq, C_in), lambda b, j: (b, 0, 0),
-                     memory_space=pltpu.VMEM),
+    xspec = pl.BlockSpec((1, Tq, C_in), lambda b, j: (b, 0, 0),
+                         memory_space=pltpu.VMEM)
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM), xspec]
+    args = [consts, x_codes]
+    if ln_args is not None:
+        gamma, beta = ln_args[0], ln_args[1]
+        in_specs += [cvec(), cvec()]
+        args += [gamma.reshape(1, C_in).astype(jnp.float32),
+                 beta.reshape(1, C_in).astype(jnp.float32)]
+    in_specs += [
         pl.BlockSpec((C_in, W), lambda b, j: (0, j),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, W), lambda b, j: (0, j), memory_space=pltpu.VMEM),
@@ -766,39 +887,53 @@ def sec_attention_q_out(
                      memory_space=pltpu.VMEM),
         cvec(), cvec(),
     ]
-    args = [consts, x_codes, wq_int8, s2, b2, k_src, v_src,
-            wout_int8, out_scale.reshape(1, C_in).astype(jnp.float32),
-            out_bias0.reshape(1, C_in).astype(jnp.float32)]
+    args += [wq_int8, s2, b2, k_src, v_src,
+             wout_int8, out_scale.reshape(1, C_in).astype(jnp.float32),
+             out_bias0.reshape(1, C_in).astype(jnp.float32)]
     has_bias, has_res = out_bias is not None, residual is not None
     if has_bias:
         in_specs.append(cvec())
         args.append(out_bias.reshape(1, C_in).astype(jnp.float32))
     if has_res:
-        in_specs.append(pl.BlockSpec((1, Tq, C_in), lambda b, j: (b, 0, 0),
-                                     memory_space=pltpu.VMEM))
+        in_specs.append(xspec)
         args.append(residual)
 
     rc = _pick_row_chunk(Tq, Tk)
+    n_fixed = 10 if ln_args is None else 12
+    scratch = [pltpu.VMEM((Tq, C_in), jnp.int32)]
+    if ln_args is not None:
+        scratch.append(pltpu.VMEM((Tq, C_in), jnp.int8))
 
     def kern(*refs):
-        fixed = list(refs[:10])
-        rest = list(refs[10:-2])
-        o_r, acc_r = refs[-2], refs[-1]
-        bo_r = rest.pop(0) if has_bias else None
-        res_r = rest.pop(0) if has_res else None
-        _sec_q_out_kernel(*fixed, bo_r, res_r, o_r, acc_r,
-                          g=g * hpp, d=d, scale=float(scale), row_chunk=rc)
+        if ln_args is None:
+            fixed = list(refs[:n_fixed])
+            rest = list(refs[n_fixed:-2])
+            o_r, acc_r = refs[-2], refs[-1]
+            bo_r = rest.pop(0) if has_bias else None
+            res_r = rest.pop(0) if has_res else None
+            _sec_q_out_kernel(*fixed, bo_r, res_r, o_r, acc_r,
+                              g=g * hpp, d=d, scale=float(scale),
+                              row_chunk=rc)
+        else:
+            fixed = list(refs[:n_fixed])
+            rest = list(refs[n_fixed:-3])
+            o_r, acc_r, codes_r = refs[-3], refs[-2], refs[-1]
+            bo_r = rest.pop(0) if has_bias else None
+            _sec_q_lnout_kernel(*fixed, bo_r, o_r, acc_r, codes_r,
+                                g=g * hpp, d=d, scale=float(scale),
+                                row_chunk=rc, eps=float(ln_args[5]))
 
     grid = (B, nj // hpp)
     out = pl.pallas_call(
         kern,
-        name="sec_attention_q_out",
+        name=("sec_attention_q_out" if ln_args is None
+              else "sec_attention_q_lnout"),
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, Tq, C_in), lambda b, j: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, Tq, C_in), out_dtype),
-        scratch_shapes=[pltpu.VMEM((Tq, C_in), jnp.int32)],
+        scratch_shapes=scratch,
         cost_estimate=pl.CostEstimate(
             flops=(2 * B * Tq * C_in * C + 4 * B * heads * Tq * Tk * d
                    + 2 * B * Tq * C * C_in),

@@ -24,7 +24,10 @@ def setup_experiment(outdir: str, config_path: Optional[str] = None) -> None:
         handlers=handlers, force=True)
     if config_path and os.path.exists(config_path):
         import shutil
-        shutil.copy(config_path, os.path.join(outdir, "config.yaml"))
+        dst = os.path.join(outdir, "config.yaml")
+        # re-running against an experiment dir passes the snapshot itself
+        if os.path.abspath(config_path) != os.path.abspath(dst):
+            shutil.copy(config_path, dst)
     try:
         rev = subprocess.run(["git", "rev-parse", "HEAD"], capture_output=True,
                              text=True, timeout=5).stdout.strip()

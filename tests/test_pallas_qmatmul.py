@@ -205,6 +205,97 @@ def test_geglu_qmatmul_matches_unfused(M, K, H, bias):
     assert (diff <= 1).all() and (diff == 0).mean() > 0.99, diff.max()
 
 
+@pytest.mark.parametrize("M,K,H,C,bias", [(64, 128, 256, 128, True),
+                                          (100, 320, 640, 256, False),
+                                          (256, 256, 1024, 256, True)])
+def test_geglu_out_qmatmul_matches_chain(M, K, H, C, bias):
+    """Whole-FF kernel == geglu kernel -> qlinear(ff.net.2) + bias +
+    residual chain (identical codes feed the same integer epilogue)."""
+    import jax
+
+    from mixdq_tpu.ops.pallas_qmatmul import (geglu_out_ok,
+                                              geglu_out_qmatmul,
+                                              geglu_qmatmul)
+    from mixdq_tpu.ops.qops import qlinear
+
+    rng = np.random.RandomState(4)
+    x = rng.randint(-128, 128, (M, K)).astype(np.int8)
+    w = rng.randint(-128, 128, (K, 2 * H)).astype(np.int8)
+    scale = (rng.rand(2 * H).astype(np.float32) + 0.1) * 1e-4
+    zp_s = np.float32(-7.0)
+    bias0 = zp_s * w.astype(np.int64).sum(0).astype(np.float32)
+    b = rng.randn(2 * H).astype(np.float32) * 0.01 if bias else None
+    w2 = rng.randint(-128, 128, (H, C)).astype(np.int8)
+    s2 = (rng.rand(C).astype(np.float32) + 0.1) * 1e-4
+    zp2 = np.float32(5.0)
+    b02 = zp2 * w2.astype(np.int64).sum(0).astype(np.float32)
+    b2 = rng.randn(C).astype(np.float32) * 0.01
+    res = rng.randn(M, C).astype(np.float32)
+    out_si = jnp.float32(37.0)
+    out_zp = jnp.float32(zp2 - 128.0)
+
+    assert geglu_out_ok(M, K, H, C)
+    got = geglu_out_qmatmul(
+        jnp.asarray(x), jnp.asarray(w), jnp.asarray(scale),
+        jnp.asarray(bias0), out_si, out_zp, jnp.asarray(w2),
+        jnp.asarray(s2), jnp.asarray(b02),
+        bias=None if b is None else jnp.asarray(b),
+        out_bias=jnp.asarray(b2), residual=jnp.asarray(res),
+        gelu_tanh=True, out_dtype=jnp.float32, interpret=True)
+
+    codes = geglu_qmatmul(jnp.asarray(x), jnp.asarray(w),
+                          jnp.asarray(scale), jnp.asarray(bias0), out_si,
+                          out_zp, bias=None if b is None else jnp.asarray(b),
+                          gelu_tanh=True, interpret=True)
+    want = (qlinear(codes, jnp.asarray(w2), jnp.asarray(s2),
+                    jnp.asarray(b02), bias=jnp.asarray(b2),
+                    out_dtype=jnp.float32) + jnp.asarray(res))
+    got, want = np.asarray(got, np.float32), np.asarray(want, np.float32)
+    # the two kernels may pick different block tilings, so the codes can
+    # differ by 1 at round boundaries; bound the relative output error
+    assert got.shape == (M, C)
+    denom = np.abs(want) + 1e-2
+    assert (np.abs(got - want) / denom).max() < 0.05
+
+
+def test_geglu_out_in_model(monkeypatch):
+    """Transformer2DModel: the whole-FF kernel must be in the traced
+    int8_sec graph and the output must match the plain int8 path."""
+    import jax
+
+    from mixdq_tpu.models.attention import Transformer2DModel
+    from mixdq_tpu.quant import calibrate as cal
+    from mixdq_tpu.quant.core import QuantSpec
+    from mixdq_tpu.quant.deploy import deploy_unet_ctx, deployed_params
+    from mixdq_tpu.quant.state import quantizable_layers, uniform_ctrl
+
+    model = Transformer2DModel(in_channels=128, heads=2, head_dim=64,
+                               num_layers=1, cross_attention_dim=64,
+                               norm_num_groups=16)
+    x = jax.random.normal(jax.random.PRNGKey(3), (1, 8, 8, 128))
+    ehs = jax.random.normal(jax.random.PRNGKey(4), (1, 77, 64))
+    variables = model.init(jax.random.PRNGKey(0), x, ehs)
+    names = quantizable_layers(variables["params"])
+    wq = QuantSpec(sym=True, channel_wise=True, round_mode="nearest")
+    aq = QuantSpec(running_stat=True)
+    qparams = cal.calibrate(model, variables, [(x, ehs)], wq, aq)
+    ctrl = uniform_ctrl(names, w_bits=8, a_bits=8)
+    ctx = deploy_unet_ctx(model, variables, qparams, ctrl, wq, aq,
+                          bos_aware=False, fuse_qkv=True)
+    pruned = deployed_params(variables, ctx)
+    run = jax.jit(lambda v, c, *a: model.apply(v, *a, c))
+    out_int8 = np.asarray(run(pruned, ctx, x, ehs))
+
+    monkeypatch.setenv("MIXDQ_PALLAS_INTERPRET", "1")
+    sctx = ctx.replace(deploy_compute="int8_sec", attn_impl="auto")
+    jaxpr = repr(jax.make_jaxpr(lambda v, c, *a: model.apply(v, *a, c))(
+        pruned, sctx, x, ehs))
+    assert "geglu_lnout_qmatmul" in jaxpr
+    out_sec = np.asarray(run(pruned, sctx, x, ehs))
+    assert np.isfinite(out_sec).all()
+    assert np.max(np.abs(out_sec - out_int8)) < 0.3
+
+
 def test_geglu_fusable_gating():
     from mixdq_tpu.models.layers import geglu_fusable
     from mixdq_tpu.quant.deploy import DeployEntry

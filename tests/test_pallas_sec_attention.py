@@ -238,6 +238,179 @@ def test_sec_attention_q_in_model(monkeypatch):
     assert np.max(np.abs(out_sec - out_int8)) < 0.3
 
 
+def test_sec_attention_qkv_out_matches_chain():
+    """Whole-block self-attn kernel == qkv kernel -> qlinear(to_out) +
+    bias + residual chain (identical integer/f32 epilogue math)."""
+    from mixdq_tpu.ops.pallas_sec_attention import (
+        sec_attention_qkv, sec_attention_qkv_out, sec_attention_qkv_out_ok)
+    from mixdq_tpu.ops.qops import qlinear
+
+    rng = np.random.RandomState(2)
+    for (T, C, heads, hpp) in [(256, 1280, 20, 0), (64, 640, 10, 0),
+                               (64, 640, 10, 1)]:  # hpp=1: multi-panel acc
+        d = C // heads
+        x = jnp.asarray(rng.randint(-127, 128, (1, T, C)), jnp.int8)
+        w = jnp.asarray(rng.randint(-127, 128, (C, 3 * C)), jnp.int8)
+        sc = jnp.asarray(rng.rand(3 * C) * 1e-3 + 1e-4, jnp.float32)
+        b0 = jnp.asarray(rng.randn(3 * C) * 5, jnp.float32)
+        wout = jnp.asarray(rng.randint(-127, 128, (C, C)), jnp.int8)
+        so = jnp.asarray(rng.rand(C) * 1e-3 + 1e-4, jnp.float32)
+        b0o = jnp.asarray(rng.randn(C) * 5, jnp.float32)
+        bo = jnp.asarray(rng.randn(C), jnp.float32)
+        res = jnp.asarray(rng.randn(1, T, C), jnp.bfloat16)
+        osi = jnp.float32(37.0)
+        ozp = jnp.float32(3.0)
+        assert sec_attention_qkv_out_ok(heads, d, T, C)
+        fused = sec_attention_qkv_out(
+            x, w, sc, b0, osi, ozp, wout, so, b0o, bo, res,
+            heads=heads, head_dim=d, scale=float(d**-0.5),
+            interpret=True, hpp_override=hpp)
+        codes = sec_attention_qkv(x, w, sc, b0, osi, ozp, heads=heads,
+                                  head_dim=d, scale=float(d**-0.5),
+                                  interpret=True)
+        ref = (qlinear(codes, wout, so, b0o, bias=bo,
+                       out_dtype=jnp.float32)
+               + res.astype(jnp.float32)).astype(jnp.bfloat16)
+        diff = np.abs(np.asarray(fused, np.float32)
+                      - np.asarray(ref, np.float32))
+        # the attention codes are identical (shared tail); only the <=1
+        # bf16 ulp of the f32->bf16 store may differ
+        scale_mag = np.abs(np.asarray(ref, np.float32)) + 1.0
+        assert (diff / scale_mag).max() < 1e-2
+
+
+def test_sec_attention_q_out_matches_chain():
+    """Whole-block cross-attn kernel == q kernel -> qlinear(to_out) +
+    bias + residual chain."""
+    from mixdq_tpu.ops.pallas_sec_attention import (
+        sec_attention_q, sec_attention_q_out, sec_attention_q_out_ok)
+    from mixdq_tpu.ops.qops import qlinear
+
+    rng = np.random.RandomState(3)
+    for (Tq, Tk, C_in, heads, hpp) in [(256, 77, 1280, 20, 0),
+                                       (64, 77, 640, 10, 1)]:
+        d = C_in // heads
+        C = heads * d
+        x = jnp.asarray(rng.randint(-127, 128, (1, Tq, C_in)), jnp.int8)
+        w = jnp.asarray(rng.randint(-127, 128, (C_in, C)), jnp.int8)
+        sc = jnp.asarray(rng.rand(C) * 1e-3 + 1e-4, jnp.float32)
+        b0 = jnp.asarray(rng.randn(C) * 5, jnp.float32)
+        kv = jnp.asarray(rng.randn(1, Tk, 2 * C), jnp.float32)
+        wout = jnp.asarray(rng.randint(-127, 128, (C, C_in)), jnp.int8)
+        so = jnp.asarray(rng.rand(C_in) * 1e-3 + 1e-4, jnp.float32)
+        b0o = jnp.asarray(rng.randn(C_in) * 5, jnp.float32)
+        bo = jnp.asarray(rng.randn(C_in), jnp.float32)
+        res = jnp.asarray(rng.randn(1, Tq, C_in), jnp.bfloat16)
+        osi = jnp.float32(29.0)
+        ozp = jnp.float32(-5.0)
+        assert sec_attention_q_out_ok(heads, d, Tq, Tk, C_in, 0, C)
+        fused = sec_attention_q_out(
+            x, w, sc, b0, kv, kv, osi, ozp, wout, so, b0o, bo, res,
+            heads=heads, head_dim=d, scale=float(d**-0.5),
+            k_off=0, v_off=C, interpret=True, hpp_override=hpp)
+        codes = sec_attention_q(x, w, sc, b0, kv, kv, osi, ozp,
+                                heads=heads, head_dim=d,
+                                scale=float(d**-0.5), k_off=0, v_off=C,
+                                interpret=True)
+        ref = (qlinear(codes, wout, so, b0o, bias=bo,
+                       out_dtype=jnp.float32)
+               + res.astype(jnp.float32)).astype(jnp.bfloat16)
+        diff = np.abs(np.asarray(fused, np.float32)
+                      - np.asarray(ref, np.float32))
+        scale_mag = np.abs(np.asarray(ref, np.float32)) + 1.0
+        assert (diff / scale_mag).max() < 1e-2
+
+
+def test_sec_attention_lnout_matches_chain():
+    """LN-folded whole-block kernels == ln_quantize -> whole-block chain
+    (identical LN math, so codes — and everything downstream — match)."""
+    from mixdq_tpu.ops.pallas_ln_quant import ln_quantize
+    from mixdq_tpu.ops.pallas_sec_attention import (sec_attention_q_out,
+                                                    sec_attention_qkv_out)
+
+    rng = np.random.RandomState(5)
+    T, C, heads = 64, 640, 10
+    d = C // heads
+    h = jnp.asarray(rng.randn(1, T, C), jnp.float32)
+    gamma = jnp.asarray(rng.rand(C) + 0.5, jnp.float32)
+    beta = jnp.asarray(rng.randn(C) * 0.1, jnp.float32)
+    x_si, x_zp = jnp.float32(17.0), jnp.float32(2.0)
+    w = jnp.asarray(rng.randint(-127, 128, (C, 3 * C)), jnp.int8)
+    sc = jnp.asarray(rng.rand(3 * C) * 1e-3 + 1e-4, jnp.float32)
+    b0 = jnp.asarray(rng.randn(3 * C) * 5, jnp.float32)
+    wout = jnp.asarray(rng.randint(-127, 128, (C, C)), jnp.int8)
+    so = jnp.asarray(rng.rand(C) * 1e-3 + 1e-4, jnp.float32)
+    b0o = jnp.asarray(rng.randn(C) * 5, jnp.float32)
+    bo = jnp.asarray(rng.randn(C), jnp.float32)
+    osi, ozp = jnp.float32(37.0), jnp.float32(3.0)
+    kw = dict(heads=heads, head_dim=d, scale=float(d**-0.5), interpret=True)
+
+    ln_args = (gamma, beta, x_si, x_zp, (-128.0, 127.0), 1e-5)
+    fused = sec_attention_qkv_out(h, w, sc, b0, osi, ozp, wout, so, b0o,
+                                  bo, None, ln_args=ln_args, **kw)
+    codes = ln_quantize(h, gamma, beta, x_si, x_zp, interpret=True)
+    ref = sec_attention_qkv_out(codes, w, sc, b0, osi, ozp, wout, so, b0o,
+                                bo, h, **kw)
+    diff = np.abs(np.asarray(fused, np.float32) - np.asarray(ref, np.float32))
+    denom = np.abs(np.asarray(ref, np.float32)) + 1.0
+    assert (diff / denom).max() < 1e-2
+
+    # cross-attn variant
+    kv = jnp.asarray(rng.randn(1, 77, 2 * C), jnp.float32)
+    wq = jnp.asarray(rng.randint(-127, 128, (C, C)), jnp.int8)
+    scq = jnp.asarray(rng.rand(C) * 1e-3 + 1e-4, jnp.float32)
+    b0q = jnp.asarray(rng.randn(C) * 5, jnp.float32)
+    fused = sec_attention_q_out(h, wq, scq, b0q, kv, kv, osi, ozp, wout,
+                                so, b0o, bo, None, k_off=0, v_off=C,
+                                ln_args=ln_args, **kw)
+    ref = sec_attention_q_out(codes, wq, scq, b0q, kv, kv, osi, ozp, wout,
+                              so, b0o, bo, h,
+                              k_off=0, v_off=C, **kw)
+    diff = np.abs(np.asarray(fused, np.float32) - np.asarray(ref, np.float32))
+    denom = np.abs(np.asarray(ref, np.float32)) + 1.0
+    assert (diff / denom).max() < 1e-2
+
+
+def test_sec_attention_whole_block_in_model(monkeypatch):
+    """Transformer2DModel e2e: the whole-block kernels (qkv_out self-attn
+    + q_out cross-attn, residual add inside) must be in the traced
+    int8_sec graph and match the plain int8 path."""
+    from mixdq_tpu.models.attention import Transformer2DModel
+    from mixdq_tpu.quant import calibrate as cal
+    from mixdq_tpu.quant.core import QuantSpec
+    from mixdq_tpu.quant.deploy import deploy_unet_ctx, deployed_params
+    from mixdq_tpu.quant.state import quantizable_layers, uniform_ctrl
+
+    model = Transformer2DModel(in_channels=128, heads=2, head_dim=64,
+                               num_layers=1, cross_attention_dim=64,
+                               norm_num_groups=16)
+    x = jax.random.normal(jax.random.PRNGKey(3), (1, 8, 8, 128))
+    ehs = jax.random.normal(jax.random.PRNGKey(4), (1, 77, 64))
+    variables = model.init(jax.random.PRNGKey(0), x, ehs)
+    names = quantizable_layers(variables["params"])
+    wq = QuantSpec(sym=True, channel_wise=True, round_mode="nearest")
+    aq = QuantSpec(running_stat=True)
+    qparams = cal.calibrate(model, variables, [(x, ehs)], wq, aq)
+    ctrl = uniform_ctrl(names, w_bits=8, a_bits=8)
+    ctx = deploy_unet_ctx(model, variables, qparams, ctrl, wq, aq,
+                          bos_aware=True, fuse_qkv=True)
+    pruned = deployed_params(variables, ctx)
+    run = jax.jit(lambda v, c, *a: model.apply(v, *a, c))
+    out_int8 = np.asarray(run(pruned, ctx, x, ehs))
+
+    monkeypatch.setenv("MIXDQ_PALLAS_INTERPRET", "1")
+    sctx = ctx.replace(deploy_compute="int8_sec", attn_impl="auto")
+    jaxpr = repr(jax.make_jaxpr(lambda v, c, *a: model.apply(v, *a, c))(
+        pruned, sctx, x, ehs))
+    # the block defers its pre-LayerNorms, so the LN-folded whole-block
+    # variants are what lands in the graph
+    assert "sec_attention_qkv_lnout" in jaxpr
+    assert "sec_attention_q_lnout" in jaxpr
+    out_sec = np.asarray(run(pruned, sctx, x, ehs))
+    assert np.isfinite(out_sec).all()
+    assert np.max(np.abs(out_sec - out_int8)) < 0.3
+
+
 def test_sec_attention_qkv_in_model(monkeypatch):
     """Transformer2DModel with dim == heads*head_dim: the qkv-fused
     whole-attention kernel must be in the traced int8_sec graph and
