@@ -89,6 +89,21 @@ def ln_fold_args(ln):
             act_clip_range(dp.a_bits), 1e-5)
 
 
+def outfuse_enabled(site: str) -> bool:
+    """Trace-time A/B knob for the whole-block out-GEMM fusions.
+    ``MIXDQ_SEC_OUTFUSE`` = "1" (all sites, default), "0" (none), or a
+    comma list of sites from {attn1, attn2, ff} — used by
+    scripts/sec_ab_bench.py to bisect per-site wins on real hardware."""
+    import os
+
+    v = os.environ.get("MIXDQ_SEC_OUTFUSE", "1")
+    if v in ("1", ""):
+        return True
+    if v == "0":
+        return False
+    return site in v.split(",")
+
+
 def fused_ln_entry(ctx: QuantCtx, dense_name: Optional[str]):
     """The deploy entry of ``dense_name`` if its pre-LayerNorm producer
     can fuse into an ln_quantize kernel (int8_sec Pallas path, int8 dense
@@ -210,6 +225,7 @@ class Attention(nn.Module):
                     if (dp_o.w_int is not None
                             and dp_o.w_int.dtype == jnp.int8
                             and (ln is None or ln_foldable)
+                            and outfuse_enabled("attn1")
                             and sec_attention_qkv_out_ok(
                                 self.heads, self.head_dim, T_, C_)):
                         bias_o = _BiasParams(self.query_dim,
@@ -311,6 +327,7 @@ class Attention(nn.Module):
                         if (dp_o.w_int is not None
                                 and dp_o.w_int.dtype == jnp.int8
                                 and (ln is None or ln_foldable)
+                                and outfuse_enabled("attn2")
                                 and sec_attention_q_out_ok(
                                     self.heads, self.head_dim, Tq_, Tk_,
                                     Cin_, 0, inner)):
@@ -560,8 +577,8 @@ class FeedForward(nn.Module):
             K, C_out = x.shape[-1], dp_2.w_int.shape[1]
             ln_foldable = (ln is not None and residual is x
                            and K % 128 == 0 and C_out == K)
-            if (ln is None or ln_foldable) and geglu_out_ok(M, K, inner,
-                                                            C_out):
+            if ((ln is None or ln_foldable) and outfuse_enabled("ff")
+                    and geglu_out_ok(M, K, inner, C_out)):
                 bias2 = _BiasParams(self.dim, dtype=self.dtype,
                                     name="net_2")()
                 return GEGLU(inner, dtype=self.dtype, name="net_0")(
