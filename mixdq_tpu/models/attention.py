@@ -91,12 +91,20 @@ def ln_fold_args(ln):
 
 def outfuse_enabled(site: str) -> bool:
     """Trace-time A/B knob for the whole-block out-GEMM fusions.
-    ``MIXDQ_SEC_OUTFUSE`` = "1" (all sites, default), "0" (none), or a
-    comma list of sites from {attn1, attn2, ff} — used by
-    scripts/sec_ab_bench.py to bisect per-site wins on real hardware."""
+    ``MIXDQ_SEC_OUTFUSE`` = "1" (all sites), "0" (none), or a comma list
+    of sites from {attn1, attn2, ff} — used by scripts/sec_ab_bench.py
+    to bisect per-site wins on real hardware.
+
+    Default = "attn2" (measured, bench_logs/r4_secab.txt, interleaved
+    5-round medians at SDXL-Turbo B=1): attn2-only 8.93 ms/step vs
+    split-kernels 9.18, attn1-only 9.24, all-three 9.37, ff-only 10.27.
+    Only the cross-attention whole-block kernel wins — its to_q GEMM
+    rides k/v panels that are small at every level; the whole-FF kernel
+    loses big (the net.2 contraction starves the MXU at hpp=1), and
+    attn1 is neutral-to-negative at the 1024-token levels."""
     import os
 
-    v = os.environ.get("MIXDQ_SEC_OUTFUSE", "1")
+    v = os.environ.get("MIXDQ_SEC_OUTFUSE", "attn2")
     if v in ("1", ""):
         return True
     if v == "0":

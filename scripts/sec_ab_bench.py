@@ -98,13 +98,15 @@ def main():
     q_vars = jax.device_put(deployed_params(variables, ctx))
 
     def make_runner():
-        def chained(s, *rest):
-            out = unet.apply(rest[0], s, *rest[1:], ctx)
+        # ctx (the deploy pytree — GBs of weights) must be a jit ARG, not
+        # a captured constant, or every variant bakes its own 2.5GB copy
+        def chained(s, v, c, tt, e, a):
+            out = unet.apply(v, s, tt, e, a, c)
             return (out / (1.0 + jnp.abs(out))).astype(s.dtype)
 
-        def scan_fn(s, *rest):
-            def body(c, _):
-                return chained(c, *rest), ()
+        def scan_fn(s, v, c, tt, e, a):
+            def body(carry, _):
+                return chained(carry, v, c, tt, e, a), ()
             s, _ = jax.lax.scan(body, s, None, length=args.inner)
             return s
 
@@ -118,17 +120,17 @@ def main():
         os.environ["MIXDQ_SEC_LNFOLD"] = lf
         t0 = time.time()
         r = make_runner()
-        out = r(sample, q_vars, t, ehs, added)
+        out = r(sample, q_vars, ctx, t, ehs, added)
         jax.block_until_ready(out)
         runners[v] = r
         log(f"compiled {v} (OUTFUSE={of} LNFOLD={lf}): {time.time()-t0:.1f}s")
 
     def timeit(r):
-        s = r(sample, q_vars, t, ehs, added)
+        s = r(sample, q_vars, ctx, t, ehs, added)
         jax.block_until_ready(s)
         t0 = time.time()
         for _ in range(args.iters):
-            s = r(s, q_vars, t, ehs, added)
+            s = r(s, q_vars, ctx, t, ehs, added)
         jax.block_until_ready(s)
         return (time.time() - t0) / (args.iters * args.inner) * 1000.0
 

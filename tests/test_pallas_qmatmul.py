@@ -287,6 +287,9 @@ def test_geglu_out_in_model(monkeypatch):
     out_int8 = np.asarray(run(pruned, ctx, x, ehs))
 
     monkeypatch.setenv("MIXDQ_PALLAS_INTERPRET", "1")
+    # whole-FF site on (shipped default is attn2-only — measured-best,
+    # bench_logs/r4_secab.txt; this test covers the kernel itself)
+    monkeypatch.setenv("MIXDQ_SEC_OUTFUSE", "ff")
     sctx = ctx.replace(deploy_compute="int8_sec", attn_impl="auto")
     jaxpr = repr(jax.make_jaxpr(lambda v, c, *a: model.apply(v, *a, c))(
         pruned, sctx, x, ehs))

@@ -371,6 +371,47 @@ def test_sec_attention_lnout_matches_chain():
     assert (diff / denom).max() < 1e-2
 
 
+def test_sec_default_outfuse_graph(monkeypatch):
+    """The SHIPPED default (MIXDQ_SEC_OUTFUSE unset = attn2-only,
+    bench_logs/r4_secab.txt) puts the cross-attn whole-block kernel in
+    the graph while attn1 keeps the split qkv kernel + ln_quantize."""
+    from mixdq_tpu.models.attention import Transformer2DModel
+    from mixdq_tpu.quant import calibrate as cal
+    from mixdq_tpu.quant.core import QuantSpec
+    from mixdq_tpu.quant.deploy import deploy_unet_ctx, deployed_params
+    from mixdq_tpu.quant.state import quantizable_layers, uniform_ctrl
+
+    model = Transformer2DModel(in_channels=128, heads=2, head_dim=64,
+                               num_layers=1, cross_attention_dim=64,
+                               norm_num_groups=16)
+    x = jax.random.normal(jax.random.PRNGKey(3), (1, 8, 8, 128))
+    ehs = jax.random.normal(jax.random.PRNGKey(4), (1, 77, 64))
+    variables = model.init(jax.random.PRNGKey(0), x, ehs)
+    names = quantizable_layers(variables["params"])
+    wq = QuantSpec(sym=True, channel_wise=True, round_mode="nearest")
+    aq = QuantSpec(running_stat=True)
+    qparams = cal.calibrate(model, variables, [(x, ehs)], wq, aq)
+    ctrl = uniform_ctrl(names, w_bits=8, a_bits=8)
+    ctx = deploy_unet_ctx(model, variables, qparams, ctrl, wq, aq,
+                          bos_aware=True, fuse_qkv=True)
+    pruned = deployed_params(variables, ctx)
+    monkeypatch.setenv("MIXDQ_PALLAS_INTERPRET", "1")
+    monkeypatch.delenv("MIXDQ_SEC_OUTFUSE", raising=False)
+    sctx = ctx.replace(deploy_compute="int8_sec", attn_impl="auto")
+    jaxpr = repr(jax.make_jaxpr(lambda v, c, *a: model.apply(v, *a, c))(
+        pruned, sctx, x, ehs))
+    assert "sec_attention_q_lnout" in jaxpr        # attn2 whole-block
+    assert "sec_attention_qkv_lnout" not in jaxpr  # attn1 split
+    assert "sec_attention_qkv" in jaxpr
+    assert "geglu_lnout" not in jaxpr              # ff split
+    assert "ln_quantize" in jaxpr                  # standalone producers
+    run = jax.jit(lambda v, c, *a: model.apply(v, *a, c))
+    out_int8 = np.asarray(run(pruned, ctx, x, ehs))
+    out_sec = np.asarray(run(pruned, sctx, x, ehs))
+    assert np.isfinite(out_sec).all()
+    assert np.max(np.abs(out_sec - out_int8)) < 0.3
+
+
 def test_sec_attention_whole_block_in_model(monkeypatch):
     """Transformer2DModel e2e: the whole-block kernels (qkv_out self-attn
     + q_out cross-attn, residual add inside) must be in the traced
@@ -399,6 +440,10 @@ def test_sec_attention_whole_block_in_model(monkeypatch):
     out_int8 = np.asarray(run(pruned, ctx, x, ehs))
 
     monkeypatch.setenv("MIXDQ_PALLAS_INTERPRET", "1")
+    # all whole-block sites on (the shipped default is attn2-only — the
+    # measured-best config, bench_logs/r4_secab.txt; this test covers
+    # the kernels themselves)
+    monkeypatch.setenv("MIXDQ_SEC_OUTFUSE", "1")
     sctx = ctx.replace(deploy_compute="int8_sec", attn_impl="auto")
     jaxpr = repr(jax.make_jaxpr(lambda v, c, *a: model.apply(v, *a, c))(
         pruned, sctx, x, ehs))
