@@ -57,4 +57,8 @@ MIXDQ_BENCH_FAMILY=sd15 MIXDQ_BENCH_BACKEND=int8_fq_sec \
 MIXDQ_BENCH_BACKEND=int8_fq_sec MIXDQ_BENCH_ROUNDS=5 \
     run r4_bench_final python bench.py
 
+# controlled B-sweep re-run under the settled attn2-only default (the
+# first r4_bsweep ran before the whole-block defaults landed)
+run r4_bsweep2 python scripts/batch_sweep.py --batches 1,2,4,8 --rounds 3
+
 echo "r4 night queue done" >&2
