@@ -99,6 +99,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--base_path", required=True)
     ap.add_argument("--backend", choices=["fake", "int8"], default="fake")
+    ap.add_argument("--deploy_compute", default=None,
+                    help="int8 backend compute mode (e.g. int8_sec to "
+                         "evaluate the shipped Pallas serving path; "
+                         "default = the family's serving default)")
+    ap.add_argument("--fuse_qkv", action="store_true",
+                    help="int8 backend: fused QKV/KV projections (the "
+                         "serving default)")
     ap.add_argument("--n_prompts", type=int, default=4)
     ap.add_argument("--batch_size", type=int, default=2)
     ap.add_argument("--seed", type=int, default=42)
@@ -129,7 +136,11 @@ def main():
                                             prune_deployed_kernels)
         wq, aq, _ = specs_from_config(cfg)
         ctx = deploy_unet_ctx(pipe.unet, {"params": params["unet"]}, qparams,
-                              ctx.ctrl, wq, aq, splits=pipe.splits)
+                              ctx.ctrl, wq, aq, splits=pipe.splits,
+                              fuse_qkv=args.fuse_qkv)
+        dc = args.deploy_compute or pipe.family.default_deploy_compute
+        ctx = ctx.replace(deploy_compute=dc,
+                          attn_impl="auto" if dc == "int8_sec" else "einsum")
         q_params = {**params, "unet": prune_deployed_kernels(
             params["unet"], ctx.deploy)}
 
@@ -166,6 +177,8 @@ def main():
 
     report = {
         "backend": args.backend,
+        **({"deploy_compute": ctx.deploy_compute,
+            "fuse_qkv": args.fuse_qkv} if args.backend == "int8" else {}),
         "n_prompts": len(prompts),
         "ssim_mean": float(np.mean(ssims)),
         "pixel_mse_mean": float(np.mean(mses)),
