@@ -247,12 +247,19 @@ def main():
     except Exception as e:
         log(f"memory analysis unavailable: {e}")
 
+    from mixdq_tpu.utils.profiling import host_fingerprint
+
     bits_tag = mp_label.strip() if mp_label else f"W{w_bits}A8"
     print(json.dumps({
         "metric": f"{family_name} UNet {bits_tag}({backend}) ms/step (B={B})",
         "value": round(q_ms, 2),
         "unit": "ms",
         "vs_baseline": round(fp_ms / q_ms, 3),
+        # host-class attribution fields (VERDICT r4 Weak #7): the paired
+        # bf16 window this ratio was measured against, and a fixed-size
+        # matmul calibration number identifying the host speed class
+        "bf16_ms": round(fp_ms, 2),
+        "host_fingerprint_ms": host_fingerprint(),
     }))
 
 

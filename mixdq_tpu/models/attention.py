@@ -104,12 +104,21 @@ def outfuse_enabled(site: str) -> bool:
     attn1 is neutral-to-negative at the 1024-token levels."""
     import os
 
-    v = os.environ.get("MIXDQ_SEC_OUTFUSE", "attn2")
-    if v in ("1", ""):
+    v = os.environ.get("MIXDQ_SEC_OUTFUSE", "").strip()
+    if not v:  # unset OR set-but-empty (shell var expansion): the
+        v = "attn2"  # measured default, NOT "enable all"
+    if v == "1":
         return True
     if v == "0":
         return False
-    return site in v.split(",")
+    sites = {t.strip() for t in v.split(",") if t.strip()}
+    known = {"attn1", "attn2", "ff"}
+    if sites - known:
+        import warnings
+
+        warnings.warn(f"MIXDQ_SEC_OUTFUSE: unrecognized sites "
+                      f"{sorted(sites - known)} (known: {sorted(known)})")
+    return site in sites
 
 
 def fused_ln_entry(ctx: QuantCtx, dense_name: Optional[str]):

@@ -461,12 +461,24 @@ class QConv(nn.Module):
         pallas_ok = (sec and use_pallas) and not (
             kh * kw == 1 and self.strides == (1, 1))
         if pallas_ok and kh * kw > 1:
-            # whole-image-resident kernel design: oversized maps (VAE
-            # decode 512x512 level) fall back to the XLA s8 conv
-            from ..ops.pallas_qconv import image_fits_vmem
+            # whole-image-resident kernel design: maps whose full block
+            # set (image slab + weights + accumulator + out) cannot fit
+            # VMEM (VAE decode 128-512px levels, odd-channel large maps)
+            # fall back to the XLA s8 conv. The gate bounds the ACTUAL
+            # blocks the kernel allocates — round 4 gated only the image
+            # slab and shipped a scoped-VMEM stack OOM at VAE decode
+            # shapes (bench_logs/r4_serve_sd15_qvae.err).
+            from ..ops.pallas_qconv import conv_fits_vmem
 
-            pallas_ok = image_fits_vmem(
-                x.shape[1], x.shape[2], x.shape[3], pad,
+            K_out = self.features
+            if dp.kind == "conv_split":
+                # dual-conv sum: each half runs its own kernel — gate on
+                # the larger half's channel count
+                c_gate = max(dp.split, x.shape[3] - dp.split)
+            else:
+                c_gate = x.shape[3]
+            pallas_ok = conv_fits_vmem(
+                x.shape[1], x.shape[2], c_gate, K_out, kh, kw, pad,
                 stride=self.strides[0])
 
         def conv_1x1_dot(codes, e, b=None):

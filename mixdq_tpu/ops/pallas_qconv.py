@@ -80,7 +80,7 @@ def _pick_div(total: int, target: int, unit: int = 1) -> int:
 #: in-model per-op trace times from ONE profile_unet run) are valid;
 #: standalone sweep absolute numbers across sessions are not. Entries
 #: only where an in-model win was confirmed; unlisted shapes use the
-#: rule in _auto_config.
+#: rule in _fit_config.
 #: bench_logs/r4_convtune2.txt (interleaved round-robin medians, 7
 #: rounds): entries where the winner beat the auto rule by >1.5 us.
 _TUNED = {  # values are TARGETS (refined by _pick_div below), verbatim
@@ -115,78 +115,160 @@ def _block_vmem(bp, bk, bc, Q, Wp, HpWp, kh, kw, nc, has_res):
 
 
 def _initial_bc(C: int) -> int:
-    """The C-block _auto_config starts from (before VMEM shrinking):
-    whole C up to 1024, else the largest lane-aligned divisor <= 512
-    (falling back to whole C when no divisor >= 256 exists)."""
+    """The C-block the config search starts from: whole C up to 1024,
+    else the largest lane-aligned divisor <= 512 (falling back to whole C
+    when no divisor >= 256 exists)."""
     if C <= 1024:
         return C
     bc = _pick_div(C, 512, 128)
     return C if bc < 256 else bc
 
 
-def _shrink_bc(bc: int, C: int, HpWp: int) -> int:
-    """Halve the C-block while its image slab exceeds the VMEM share —
-    the SAME reachability rule _auto_config applies, so the
-    ``image_fits_vmem`` gate and the kernel config can never disagree
-    (each halving step must stay a lane-aligned divisor of C)."""
-    while HpWp * bc > 9 * 1024 * 1024 and bc > 128 and bc % 2 == 0 \
-            and C % (bc // 2) == 0 and (bc // 2) % 128 == 0:
-        bc = bc // 2
-    return bc
+def _bc_ladder(C: int, HpWp: int):
+    """Candidate C-blocks in preference order: the initial pick, then
+    repeated halvings while each step stays a lane-aligned divisor of C.
+    Shrinking bc shrinks the resident image slab [HpWp, bc] — the lever
+    that lets large feature maps (VAE decode 128/256px levels) fit."""
+    bc = _initial_bc(C)
+    ladder = [bc]
+    while bc > 128 and bc % 2 == 0 and C % (bc // 2) == 0 \
+            and (bc // 2) % 128 == 0:
+        bc //= 2
+        ladder.append(bc)
+    return ladder
 
 
-def image_fits_vmem(H: int, W: int, C: int, padding=(1, 1),
-                    stride: int = 1) -> bool:
-    """Static gate for the whole-image-resident kernel design: the padded
-    image's smallest *halving-reachable* C-block (exactly what
-    ``_auto_config`` would pick) must fit a VMEM share. VAE decode maps
-    past ~313x313 (e.g. 512x512x128) fail and fall back to the XLA s8
-    conv in ``models.layers.QConv``."""
-    ph, pw = padding if isinstance(padding, tuple) else (padding, padding)
-    if stride == 2:  # s2d folds to (H/2, W/2, 4C) — same byte count
-        H, W, C = (H + 2 * ph + 1) // 2, (W + 2 * pw + 1) // 2, 4 * C
-        ph = pw = 0
-    Hp = H + 2 * ph
-    Wp = _round_up(W + 2 * pw, 8)
-    bc = _shrink_bc(_initial_bc(C), C, Hp * Wp)
-    return Hp * Wp * bc <= 9 * 1024 * 1024
+def _bk_ladder(K: int):
+    """Candidate K-blocks in preference order: the measured-best initial
+    pick, then smaller lane-aligned divisors of K. Shrinking bk shrinks
+    the double-buffered weight block — the lever when C has no
+    lane-aligned divisor (e.g. C=960) so bc cannot shrink."""
+    if K <= 512:
+        bk0 = K
+    elif K % 640 == 0:
+        bk0 = 640
+    else:
+        bk0 = _pick_div(K, 512, 128)
+    ladder = [bk0]
+    if K > 128:
+        ladder += [d for d in sorted(
+            {d for d in range(128, bk0, 128) if K % d == 0}, reverse=True)]
+    return ladder
 
 
-def _auto_config(kh, kw, H, P, Q, Wp, HpWp, C, K, has_res):
-    """Pick (bp, bk, bc).
+def _fit_config(kh, kw, H, P, Q, Wp, HpWp, C, K, has_res, min_bp=1):
+    """Pick (bp, bk, bc), or **None when no configuration fits VMEM**.
+    ``min_bp``: reject row-blocks smaller than this (degenerate bp=1-2
+    configs fit VMEM easily but run tiny per-step dots; _plan_conv first
+    searches whole-image AND strip plans at bp >= 8, then relaxes).
 
     bk: ~512-wide lane blocks (640 when it divides K — the 640-channel
     levels otherwise fall to 128, the only 512-bounded lane-aligned
-    divisor of 640). bc: block C only past 1024 (C-blocks must be
-    lane-aligned divisors so the flat image column slice stays a plain
-    2D block). bp: when the weight tensor is large (the 16x16
-    1280/1920/2560-channel levels) take the WHOLE image as one spatial
-    block so weights stream exactly once; otherwise favor bp that fits
-    the VMEM budget from 32 down.
+    divisor of 640), shrunk down the divisor ladder as a last resort.
+    bc: block C only past 1024, then shrink down the halving ladder
+    until the block set fits (C-blocks must be lane-aligned divisors so
+    the flat image column slice stays a plain 2D block). bp: when the
+    weight tensor is large (the 16x16 1280/1920/2560-channel levels)
+    take the WHOLE image as one spatial block so weights stream exactly
+    ONCE; otherwise favor bp that fits the VMEM budget from 32 down.
+
+    The round-4 version silently fell back to bp=8 when nothing fit the
+    budget — which shipped a kernel whose Mosaic scoped-VMEM stack
+    overflowed at VAE-decode shapes (bench_logs/r4_serve_sd15_qvae.err:
+    17.27M > 16M at [4,128,128,512]x512). Now the search keeps
+    shrinking (bc, then bk) and reports un-fittable shapes as None so
+    callers can strip-decompose the image (``_plan_conv``) instead of
+    hitting XLA's integer conv (~10 TOP/s measured — the r5 SDXL-1024
+    profile showed 3-10 ms per fallback conv,
+    bench_logs/r5_prof_sdxl1024_sec.txt).
     """
     tuned = _TUNED.get((kh, kw, H, C, K))
     if tuned is not None:
         return tuned
-    if K <= 512:
-        bk = K
-    elif K % 640 == 0:
-        bk = 640
-    else:
-        bk = _pick_div(K, 512, 128)
-    # large feature maps (VAE decode levels, e.g. 256x256x512): the image
-    # block is [Hp*Wp, bc] — shrink bc until it fits its share of VMEM
-    # (shared helper so image_fits_vmem gates the exact same config)
-    bc = _shrink_bc(_initial_bc(C), C, HpWp)
     w_bytes = kh * kw * C * K
-    nc = C // bc
-    cands = sorted({d for d in range(1, P + 1) if P % d == 0})
     big_w = w_bytes > 4 * 1024 * 1024
-    for bp in sorted(cands, reverse=True) if big_w else [
-            d for d in sorted(cands, reverse=True) if d <= 32]:
-        if _block_vmem(bp, bk, bc, Q, Wp, HpWp, kh, kw, nc, has_res) \
-                <= _VMEM_BUDGET:
-            return bp, bk, bc
-    return _pick_div(P, 8), bk, bc
+    cands = sorted({d for d in range(1, P + 1) if P % d == 0})
+    bp_prefs = (sorted(cands, reverse=True) if big_w
+                else [d for d in sorted(cands, reverse=True) if d <= 32])
+    # min_bp filter; small images (P < min_bp) keep their largest block
+    bp_prefs = [d for d in bp_prefs if d >= min_bp] or bp_prefs[:1]
+    for bk in _bk_ladder(K):
+        for bc in _bc_ladder(C, HpWp):
+            nc = C // bc
+            for bp in bp_prefs:
+                if _block_vmem(bp, bk, bc, Q, Wp, HpWp, kh, kw, nc,
+                               has_res) <= _VMEM_BUDGET:
+                    return bp, bk, bc
+    return None
+
+
+def _plan_conv(kh, kw, H, P, Q, Wp, Hp, C, K, has_res):
+    """Full execution plan: (n_strips, (bp, bk, bc)) or None.
+
+    n_strips == 1: the whole padded image is VMEM-resident (the SDXL
+    512px regime). n_strips > 1: the image is decomposed into
+    horizontal strips of P/n_strips output rows, each kernel call
+    reading its strip's input rows [s*Ps, s*Ps + Ps + kh - 1) of the
+    padded image (the kh-1 halo rows are re-read by the neighbouring
+    strip — a few KB per strip). This covers the shapes whose whole
+    image cannot fit VMEM — SDXL-1024's 128x128 levels and VAE decode
+    up to 512x512 — at full Pallas int8 speed; the round-4 design had
+    no such mode and fell back to XLA integer convs there (measured
+    ~10 TOP/s: 3-10 ms/conv, the entire SDXL-1024 0.79x regression,
+    VERDICT r4 Weak #1)."""
+    def search(min_bp):
+        cfg = _fit_config(kh, kw, H, P, Q, Wp, Hp * Wp, C, K, has_res,
+                          min_bp)
+        if cfg is not None:
+            return 1, cfg
+        for ns in (2, 4, 8, 16, 32, 64):
+            if P % ns:
+                continue
+            Ps = P // ns
+            if Ps < 8:
+                break
+            Hps = Ps + kh - 1
+            # H=-1: strip geometry must not hit whole-image _TUNED entries
+            cfg = _fit_config(kh, kw, -1, Ps, Q, Wp, Hps * Wp, C, K,
+                              has_res, min_bp)
+            if cfg is not None:
+                return ns, cfg
+        return None
+
+    # healthy row blocks first (bp >= 8 keeps every tap dot >= 8*Wp MXU
+    # rows); only degenerate bp as a last resort
+    return search(8) or search(1)
+
+
+def _conv_geometry(H: int, W: int, C: int, kh: int, kw: int,
+                   padding=(1, 1), stride: int = 1):
+    """(H, W, C, ph, pw) after the stride-2 space-to-depth fold, matching
+    qconv2d_pallas_s2 / qconv2d_pallas preprocessing exactly."""
+    ph, pw = padding if isinstance(padding, tuple) else (padding, padding)
+    if stride == 2:  # s2d folds to (ceil/2 dims, 4C); taps fold to ceil/2
+        H, W, C = _round_up(H + 2 * ph, 2) // 2, \
+            _round_up(W + 2 * pw, 2) // 2, 4 * C
+        kh, kw = (kh + 1) // 2, (kw + 1) // 2
+        ph = pw = 0
+    return H, W, C, kh, kw, ph, pw
+
+
+def conv_fits_vmem(H: int, W: int, C: int, K: int, kh: int = 3,
+                   kw: int = 3, padding=(1, 1), stride: int = 1,
+                   has_res: bool = True) -> bool:
+    """Static gate for the Pallas conv: True iff an execution plan
+    exists — whole-image-resident, or strip-decomposed for large maps
+    (``_plan_conv``) — whose block set (image slab, double-buffered
+    weights, int32 accumulator, per-tap dot transient, output/residual
+    blocks) fits the VMEM budget. The rare shapes past it fall back to
+    the XLA s8 conv in ``models.layers.QConv``. ``has_res=True`` gates
+    the worst case (a fused residual block may be requested)."""
+    H, W, C, kh, kw, ph, pw = _conv_geometry(H, W, C, kh, kw, padding,
+                                             stride)
+    Hp = H + 2 * ph
+    Wp = _round_up(W + 2 * pw, 8)
+    P, Q = H + 2 * ph - kh + 1, W + 2 * pw - kw + 1
+    return _plan_conv(kh, kw, H, P, Q, Wp, Hp, C, K, has_res) is not None
 
 
 def _conv_kernel(x_ref, w_ref, scale_ref, bias0_ref, bias_ref, ebias_ref,
@@ -271,78 +353,107 @@ def qconv2d_pallas(
     x_p = jax.lax.pad(
         x_int8, pad_val,
         ((0, 0, 0), (ph, ph, 0), (pw, Wp - W - pw, 0), (0, 0, 0)))
-    xf = x_p.reshape(B, Hp * Wp, C)
 
-    auto = _auto_config(kh, kw, H, P, Q, Wp, Hp * Wp, C, K,
-                        residual is not None)
+    if None in (bp_target, bk_target, bc_target):
+        plan = _plan_conv(kh, kw, H, P, Q, Wp, Hp, C, K,
+                          residual is not None)
+        if plan is None:
+            raise ValueError(
+                f"qconv2d_pallas: no execution plan fits VMEM for "
+                f"H={H} W={W} C={C} K={K} kh={kh} kw={kw} — gate call "
+                f"sites with conv_fits_vmem() and fall back to qops.qconv2d")
+        ns, auto = plan
+    else:
+        ns, auto = 1, (bp_target, bk_target, bc_target)
     bp_t = bp_target if bp_target is not None else auto[0]
     bk_t = bk_target if bk_target is not None else auto[1]
     bc_t = bc_target if bc_target is not None else auto[2]
-    bp = _pick_div(P, bp_t)
-    bk = K if K <= bk_t else _pick_div(K, bk_t, 128)
-    bc = C if C <= bc_t else _pick_div(C, bc_t, 128)
-    grid = (B, P // bp, K // bk, C // bc)
-
-    vec = lambda: pl.BlockSpec((1, bk), lambda b, i, k, c: (0, k),
-                               memory_space=pltpu.VMEM)
-    in_specs = [
-        # padded image per batch element, blocked along C; constant along
-        # (i, k) when bc == C so the pipeline fetches it once per batch
-        pl.BlockSpec((1, Hp * Wp, bc), lambda b, i, k, c: (b, 0, c),
-                     memory_space=pltpu.VMEM),
-        # natural-layout weight block: kh*kw*bc*bk bytes double-buffer
-        # against the tap dots; no re-layout anywhere
-        pl.BlockSpec((kh, kw, bc, bk), lambda b, i, k, c: (0, 0, c, k),
-                     memory_space=pltpu.VMEM),
-        vec(), vec(),
-    ]
-    args = [xf, w_int8, scale.reshape(1, -1).astype(jnp.float32),
-            bias0.reshape(1, -1).astype(jnp.float32)]
-    if bias is not None:
-        in_specs.append(vec())
-        args.append(bias.reshape(1, -1).astype(jnp.float32))
-    if extra_bias is not None:
-        # full [B, bk] block (a (1, bk) block over [B, K] is an illegal
-        # sublane shape when B > 1); the kernel row-indexes by batch id
-        in_specs.append(pl.BlockSpec((B, bk), lambda b, i, k, c: (0, k),
-                                     memory_space=pltpu.VMEM))
-        args.append(extra_bias.astype(jnp.float32))
-    if residual is not None:
-        in_specs.append(pl.BlockSpec((1, bp, Q, bk),
-                                     lambda b, i, k, c: (b, i, 0, k),
-                                     memory_space=pltpu.VMEM))
-        args.append(residual)
 
     has_b, has_e, has_r = (bias is not None, extra_bias is not None,
                            residual is not None)
 
-    def kern(*refs):
-        x_r, w_r, sc_r, b0_r = refs[:4]
-        rest = list(refs[4:-2])
-        o_r, acc_r = refs[-2], refs[-1]
-        b_r = rest.pop(0) if has_b else None
-        e_r = rest.pop(0) if has_e else None
-        r_r = rest.pop(0) if has_r else None
-        _conv_kernel(x_r, w_r, sc_r, b0_r, b_r, e_r, r_r, o_r, acc_r,
-                     bp=bp, Q=Q, Wp=Wp, kh=kh, kw=kw)
+    def call_kernel(xf, Pe, Hpe, res):
+        """One pallas_call over a padded flat slab [B, Hpe*Wp, C]
+        producing [B, Pe, Q, K] (whole image: Pe = P; strip: Pe = P/ns
+        with Hpe = Pe + kh - 1 including the halo rows)."""
+        bp = _pick_div(Pe, bp_t)
+        bk = K if K <= bk_t else _pick_div(K, bk_t, 128)
+        bc = C if C <= bc_t else _pick_div(C, bc_t, 128)
+        grid = (B, Pe // bp, K // bk, C // bc)
 
-    out = pl.pallas_call(
-        kern,
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, bp, Q, bk),
-                               lambda b, i, k, c: (b, i, 0, k),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, P, Q, K), out_dtype),
-        scratch_shapes=[pltpu.VMEM((bp, Q, bk), jnp.int32)],
-        cost_estimate=pl.CostEstimate(
-            flops=2 * B * P * Wp * kh * kw * C * K,
-            bytes_accessed=(B * Hp * Wp * C + kh * kw * C * K
-                            + 2 * B * P * Q * K),
-            transcendentals=0),
-        interpret=interpret,
-    )(*args)
-    return out
+        vec = lambda: pl.BlockSpec((1, bk), lambda b, i, k, c: (0, k),
+                                   memory_space=pltpu.VMEM)
+        in_specs = [
+            # padded image slab per batch element, blocked along C;
+            # constant along (i, k) so the pipeline fetches it once per b
+            pl.BlockSpec((1, Hpe * Wp, bc), lambda b, i, k, c: (b, 0, c),
+                         memory_space=pltpu.VMEM),
+            # natural-layout weight block: kh*kw*bc*bk bytes double-buffer
+            # against the tap dots; no re-layout anywhere
+            pl.BlockSpec((kh, kw, bc, bk), lambda b, i, k, c: (0, 0, c, k),
+                         memory_space=pltpu.VMEM),
+            vec(), vec(),
+        ]
+        args = [xf, w_int8, scale.reshape(1, -1).astype(jnp.float32),
+                bias0.reshape(1, -1).astype(jnp.float32)]
+        if has_b:
+            in_specs.append(vec())
+            args.append(bias.reshape(1, -1).astype(jnp.float32))
+        if has_e:
+            # full [B, bk] block (a (1, bk) block over [B, K] is an
+            # illegal sublane shape when B > 1); the kernel row-indexes
+            # by batch id
+            in_specs.append(pl.BlockSpec((B, bk), lambda b, i, k, c: (0, k),
+                                         memory_space=pltpu.VMEM))
+            args.append(extra_bias.astype(jnp.float32))
+        if has_r:
+            in_specs.append(pl.BlockSpec((1, bp, Q, bk),
+                                         lambda b, i, k, c: (b, i, 0, k),
+                                         memory_space=pltpu.VMEM))
+            args.append(res)
+
+        def kern(*refs):
+            x_r, w_r, sc_r, b0_r = refs[:4]
+            rest = list(refs[4:-2])
+            o_r, acc_r = refs[-2], refs[-1]
+            b_r = rest.pop(0) if has_b else None
+            e_r = rest.pop(0) if has_e else None
+            r_r = rest.pop(0) if has_r else None
+            _conv_kernel(x_r, w_r, sc_r, b0_r, b_r, e_r, r_r, o_r, acc_r,
+                         bp=bp, Q=Q, Wp=Wp, kh=kh, kw=kw)
+
+        return pl.pallas_call(
+            kern,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, bp, Q, bk),
+                                   lambda b, i, k, c: (b, i, 0, k),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B, Pe, Q, K), out_dtype),
+            scratch_shapes=[pltpu.VMEM((bp, Q, bk), jnp.int32)],
+            cost_estimate=pl.CostEstimate(
+                flops=2 * B * Pe * Wp * kh * kw * C * K,
+                bytes_accessed=(B * Hpe * Wp * C + kh * kw * C * K
+                                + 2 * B * Pe * Q * K),
+                transcendentals=0),
+            interpret=interpret,
+        )(*args)
+
+    if ns == 1:
+        return call_kernel(x_p.reshape(B, Hp * Wp, C), P, Hp, residual)
+
+    # strip decomposition (_plan_conv): Pe output rows per call, each
+    # strip reading padded-image rows [s*Pe, s*Pe + Pe + kh - 1) — the
+    # kh-1 halo rows overlap the neighbouring strip
+    Pe = P // ns
+    outs = []
+    for s in range(ns):
+        xs = jax.lax.slice_in_dim(x_p, s * Pe, s * Pe + Pe + kh - 1, axis=1)
+        rs = (jax.lax.slice_in_dim(residual, s * Pe, (s + 1) * Pe, axis=1)
+              if has_r else None)
+        outs.append(call_kernel(xs.reshape(B, (Pe + kh - 1) * Wp, C),
+                                Pe, Pe + kh - 1, rs))
+    return jnp.concatenate(outs, axis=1)
 
 
 def s2d_weights(w_int8: jnp.ndarray) -> jnp.ndarray:

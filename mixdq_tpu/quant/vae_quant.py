@@ -7,7 +7,7 @@ end-to-end latency, so the remaining pipeline-level lever is an int8
 decoder: same calibrate -> deploy machinery as the UNet, driven over the
 ``decoder.*`` layer subtree of ``models.vae.AutoencoderKL``. Oversized
 feature maps (512x512 level) fall back from the Pallas conv kernels to
-XLA s8 convs automatically (``ops.pallas_qconv.image_fits_vmem``).
+XLA s8 convs automatically (``ops.pallas_qconv.conv_fits_vmem``).
 """
 
 from __future__ import annotations

@@ -76,6 +76,38 @@ def measure_memory(fn: Callable, *args) -> Dict[str, float]:
             "peak_mb": peak}
 
 
+_FINGERPRINT_CACHE: Dict[int, float] = {}
+
+
+def host_fingerprint(n: int = 8192, iters: int = 5,
+                     refresh: bool = False) -> float:
+    """Host-class fingerprint: ms for one n*n*n bf16 matmul (median of
+    ``iters``), cached per process.
+
+    The bench host migrates between machines whose TPU tunnel differs by
+    10-50x in effective speed (DESIGN_NOTES: same binary 14us vs 2275us
+    minutes apart); recording this fixed-size calibration number as a
+    structured field in every bench artifact makes cross-round deltas
+    attributable to code vs host (VERDICT r4 Weak #7)."""
+    import statistics
+
+    if not refresh and n in _FINGERPRINT_CACHE:
+        return _FINGERPRINT_CACHE[n]
+    import jax.numpy as jnp
+
+    a = jnp.ones((n, n), jnp.bfloat16)
+    f = jax.jit(lambda x: x @ x)
+    jax.block_until_ready(f(a))
+    ts = []
+    for _ in range(iters):
+        t0 = time.time()
+        jax.block_until_ready(f(a))
+        ts.append((time.time() - t0) * 1000.0)
+    ms = round(statistics.median(ts), 2)
+    _FINGERPRINT_CACHE[n] = ms
+    return ms
+
+
 def timeit(fn: Callable, *args, iters: int = 20, warmup: int = 3,
            strict: bool = False) -> float:
     """Median-free mean ms/iter. ``strict`` blocks every iteration

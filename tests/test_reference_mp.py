@@ -61,6 +61,56 @@ def test_sensitivity_logs_cover_layer_space():
 
 
 @needs_ref
+def test_lcm_lora_ratio_configs_match_sd15_arch():
+    """The reference's SD1.5+LCM tensor-ratio configs (the only real-data
+    MP anchor for that family) map 1:1 onto our SD1.5 layer space
+    (VERDICT r4 Next #7)."""
+    from mixdq_tpu.mixed_precision import reference_data as rd
+
+    w = rd.load_lcm_lora_ratio("weight")
+    a = rd.load_lcm_lora_ratio("act")
+    fixture = os.path.join(os.path.dirname(__file__),
+                           "fixtures_sd15_layers.txt")
+    with open(fixture) as f:
+        ours = {line.strip() for line in f if line.strip()}
+    assert set(w) == ours, (sorted(set(w) - ours)[:5],
+                            sorted(ours - set(w))[:5])
+    assert set(a) == set(w)
+    assert len(w) == 282
+
+
+@needs_ref
+def test_lcm_lora_weight_ratios_proportional_to_param_counts():
+    """The reference weight ratios are per-layer parameter counts up to
+    one global constant — a real-model architecture anchor for our SD1.5
+    UNet (kernel shapes must match the reference's diffusers model)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mixdq_tpu.mixed_precision import reference_data as rd
+    from mixdq_tpu.models.configs import get_family
+    from mixdq_tpu.models.unet import UNet2DConditionModel
+    from mixdq_tpu.quant.state import get_layer_kernel, quantizable_layers
+
+    ratio = rd.load_lcm_lora_ratio("weight")
+    f = get_family("sd15")
+    unet = UNet2DConditionModel(f.unet, dtype=jnp.bfloat16)
+    H = f.unet.sample_size
+    shapes = jax.eval_shape(
+        unet.init, jax.random.PRNGKey(0),
+        jnp.zeros((1, H, H, f.unet.in_channels), jnp.bfloat16),
+        jnp.asarray(999.0),
+        jnp.zeros((1, 77, f.unet.cross_attention_dim), jnp.bfloat16), None)
+    consts = []
+    for name, path in quantizable_layers(shapes["params"]).items():
+        k = get_layer_kernel(shapes["params"], path)
+        consts.append(int(np.prod(k.shape)) / ratio[name])
+    consts = np.asarray(consts)
+    np.testing.assert_allclose(consts, consts[0], rtol=1e-6)
+
+
+@needs_ref
 def test_weight_5_02_allocation_agreement():
     from mixdq_tpu.mixed_precision import reference_data as rd
 
@@ -84,8 +134,16 @@ def test_act_7_77_allocation_agreement():
     cmp_ = res["comparison"]
     assert cmp_ is not None
     assert cmp_["n_common"] == 785
-    # act SQNR sensitivities carry many near-ties (quality group solves at
-    # budget 8.0 with b in {4,8}); HiGHS vs SCIP tie-breaks diverge more
-    # than on the weight side — 93.8% measured, floor at 0.90
-    assert cmp_["agree"] >= 0.90, cmp_
+    # The act solve restricts BOTH groups to bits {4,8}
+    # (integer_programming.py:146) — modeled since r5. Remaining
+    # divergence (94.3% measured) is in the content group only, where
+    # the sensitivities are near-degenerate (4th-decimal differences):
+    # our HiGHS solution scores a strictly HIGHER objective than the
+    # published SCIP one at the same budget band, so disagreement is
+    # solver optimality/tie-breaking, not a modeling gap.
+    assert cmp_["agree"] >= 0.92, cmp_
     assert abs(cmp_["ours_avg_bits"] - cmp_["ref_avg_bits"]) < 0.05, cmp_
+    assert res["objectives"]["ours"] >= res["objectives"]["ref"] - 1e-9, \
+        res["objectives"]
+    # no 2-bit act elections (the reference's act candidate set is {4,8})
+    assert set(res["config"].values()) <= {4, 8}

@@ -84,11 +84,60 @@ def test_pipeline_decode_takes_vae_ctx(vae_setup):
     assert np.isfinite(np.asarray(img_q)).all()
 
 
-def test_image_fits_vmem_gate():
-    from mixdq_tpu.ops.pallas_qconv import image_fits_vmem
+def test_conv_fits_vmem_gate():
+    from mixdq_tpu.ops.pallas_qconv import conv_fits_vmem
 
-    assert image_fits_vmem(64, 64, 1280)        # SDXL levels all fit
-    assert image_fits_vmem(128, 128, 512)       # VAE 128x128 level
-    assert image_fits_vmem(256, 256, 512)       # bc shrinks to 128
-    assert not image_fits_vmem(512, 512, 128)   # VAE 512x512 level
-    assert not image_fits_vmem(512, 512, 256)
+    assert conv_fits_vmem(64, 64, 1280, 1280)    # SDXL levels all fit
+    assert conv_fits_vmem(128, 128, 512, 512)    # VAE 128x128 (bc ladder)
+    assert not conv_fits_vmem(512, 512, 128, 128)  # VAE 512x512 level
+    assert not conv_fits_vmem(512, 512, 256, 128)
+
+
+def test_fit_config_bounds_block_set():
+    """Every config the search returns must fit the soft budget — the
+    r4 silent bp=8 fallback shipped a scoped-VMEM OOM at VAE decode
+    shapes (bench_logs/r4_serve_sd15_qvae.err: 17.27M > 16M at
+    [4,128,128,512]x512). Sweep UNet + VAE shapes at both resolutions."""
+    from mixdq_tpu.ops.pallas_qconv import (_VMEM_BUDGET, _TUNED,
+                                            _block_vmem, _fit_config,
+                                            _round_up)
+
+    shapes = [
+        # (H, W, C, K): SDXL 512px + 1024px levels, SD1.5, VAE decode
+        (64, 64, 320, 320), (32, 32, 640, 640), (16, 16, 1280, 1280),
+        (16, 16, 2560, 1280), (32, 32, 1920, 640), (64, 64, 960, 320),
+        (128, 128, 320, 320), (64, 64, 640, 640), (32, 32, 1280, 1280),
+        (128, 128, 960, 320), (64, 64, 1920, 640),
+        (64, 64, 512, 512), (128, 128, 512, 512),   # VAE decode
+        (256, 256, 512, 512), (256, 256, 256, 256),
+        (512, 512, 256, 128), (512, 512, 128, 128),
+    ]
+    for H, W, C, K in shapes:
+        Hp, Wpad = H + 2, W + 2
+        Wp = _round_up(Wpad, 8)
+        P = Q = H
+        cfg = _fit_config(3, 3, H, P, Q, Wp, Hp * Wp, C, K, True)
+        if cfg is None:
+            continue  # caller falls back to XLA s8 conv — safe
+        bp, bk, bc = cfg
+        if (3, 3, H, C, K) in _TUNED:
+            continue  # measured-in-model entries bypass the estimate
+        assert _block_vmem(bp, bk, bc, Q, Wp, Hp * Wp, 3, 3, C // bc,
+                           True) <= _VMEM_BUDGET, (H, W, C, K, cfg)
+
+
+def test_oversized_conv_raises_without_gate():
+    """qconv2d_pallas refuses un-fittable shapes loudly instead of
+    emitting a kernel that overflows the Mosaic VMEM stack."""
+    import jax.numpy as jnp
+    import pytest
+
+    from mixdq_tpu.ops.pallas_qconv import qconv2d_pallas
+
+    x = jnp.zeros((1, 512, 512, 128), jnp.int8)
+    w = jnp.zeros((3, 3, 128, 128), jnp.int8)
+    s = jnp.ones((128,), jnp.float32)
+    b0 = jnp.zeros((128,), jnp.float32)
+    with pytest.raises(ValueError, match="conv_fits_vmem"):
+        qconv2d_pallas(x, w, s, b0, jnp.asarray(0, jnp.int8),
+                       interpret=True)
