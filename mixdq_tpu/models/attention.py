@@ -22,6 +22,7 @@ maps it onto the MXU; no manual head-batching like the reference's
 
 from __future__ import annotations
 
+import os
 from typing import Any, Optional
 
 import jax
@@ -465,11 +466,27 @@ class Attention(nn.Module):
             # the XLA einsum chain only when the logits matrix is large
             # (T=4096: 1.28x; T<=1024: 0.8-1.0x — d=64 pads to 128 lanes)
             impl = "flash" if Tq * Tk >= 2**22 else "einsum"
+            # int8 deploy path, large-T SELF-attention: run both flash
+            # matmuls on the int8 MXU (dynamic per-tensor q/k/v quant —
+            # the deploy analogue of the reference's q/k/v/softmax act
+            # quantizers, quant_block.py:213-233). Cross-attn keeps bf16:
+            # its BoS text token's magnitude would poison a per-tensor
+            # dynamic scale (the very problem BoS protection exists for).
+            # MIXDQ_INT8_FLASH: "1" full-int8 (default) / "qk" QK^T-only
+            # / "0" bf16 flash — trace-time A/B knob.
+            if impl == "flash" and ctx.mode == "int8" and not is_cross:
+                knob = os.environ.get("MIXDQ_INT8_FLASH", "1").strip()
+                if knob == "1":
+                    impl = "int8qkv_flash"
+                elif knob == "qk":
+                    impl = "int8_flash"
         if (impl != "einsum" and not fake_sm
                 and jax.default_backend() != "cpu"):
             from ..ops import pallas_attention as pa
 
-            if impl == "int8_flash":
+            if impl == "int8qkv_flash":
+                out = pa.int8qkv_mha(q, k, v, scale, out_dtype=self.dtype)
+            elif impl == "int8_flash":
                 out = pa.int8_mha(q, k, v, scale, out_dtype=self.dtype)
             else:
                 out = pa.mha(q, k, v, scale)

@@ -239,6 +239,130 @@ def int8_flash_attention(
     return out[:, :Tq, :d]
 
 
+def _int8qkv_flash_kernel(ls_ref, vs_ref, q_ref, k_ref, v_ref, o_ref,
+                          m_ref, l_ref, acc_ref, *, kv_len, bk):
+    """Fully-int8 flash recurrence: QK^T on the int8 MXU path
+    (``ls_ref[0] = s_q*s_k*d^-0.5`` dequantizes the int32 logit tile),
+    then the probability tile is re-quantized in-register to s8 codes
+    (static scale 1/127 — probs live in [0, 1]) so P@V ALSO runs int8
+    (v arrives as symmetric s8 codes; ``vs_ref[0] = s_v / 127``
+    rescales the int32 partial products). The acc/l rescale stays f32,
+    so the online-softmax recurrence is unchanged. This is the deploy
+    counterpart of the reference's simulation-only softmax/v act
+    quantizers (quant_block.py:213-233, always_zero softmax spec)."""
+    j = pl.program_id(2)
+    nj = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    s32 = jax.lax.dot_general(q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    s = s32.astype(jnp.float32) * ls_ref[0]
+
+    kv_pos = j * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(kv_pos < kv_len, s, _NEG_INF)
+
+    m_prev = m_ref[:]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new)
+    l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+    m_ref[:] = m_new
+    pi = jnp.round(p * 127.0).astype(jnp.int8)  # p in [0,1] -> 7-bit codes
+    pv = jax.lax.dot_general(pi, v_ref[0], (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.int32)
+    acc_ref[:] = acc_ref[:] * alpha + pv.astype(jnp.float32) * vs_ref[0]
+
+    @pl.when(j == nj - 1)
+    def _():
+        o_ref[0] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("bq", "bk", "out_dtype",
+                                             "interpret"))
+def int8qkv_flash_attention(
+    q_int8: jnp.ndarray,  # [BH, Tq, d] int8 codes (symmetric)
+    k_int8: jnp.ndarray,  # [BH, Tk, d] int8 codes (symmetric)
+    v_int8: jnp.ndarray,  # [BH, Tk, d] int8 codes (symmetric)
+    logit_scale,  # traced scalar: s_q * s_k * softmax_scale
+    v_scale,  # traced scalar: s_v
+    bq: int = 512,
+    bk: int = 512,
+    out_dtype=jnp.bfloat16,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Flash attention with BOTH matmuls on the MXU int8 path."""
+    BH, Tq, d = q_int8.shape
+    Tk = k_int8.shape[1]
+    bq = min(bq, _round_up(Tq, 128))
+    bk = min(bk, _round_up(Tk, 128))
+    Tqp, Tkp = _round_up(Tq, bq), _round_up(Tk, bk)
+    dp = _round_up(d, 128)
+    if (Tqp, dp) != (Tq, d):
+        q_int8 = jnp.pad(q_int8, ((0, 0), (0, Tqp - Tq), (0, dp - d)))
+    if (Tkp, dp) != (Tk, d):
+        k_int8 = jnp.pad(k_int8, ((0, 0), (0, Tkp - Tk), (0, dp - d)))
+        v_int8 = jnp.pad(v_int8, ((0, 0), (0, Tkp - Tk), (0, dp - d)))
+
+    ls = jnp.asarray(logit_scale, jnp.float32).reshape(1)
+    vs = (jnp.asarray(v_scale, jnp.float32) / 127.0).reshape(1)
+    grid = (BH, Tqp // bq, Tkp // bk)
+    out = pl.pallas_call(
+        functools.partial(_int8qkv_flash_kernel, kv_len=Tk, bk=bk),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, bq, dp), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, dp), lambda b, i, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, dp), lambda b, i, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bq, dp), lambda b, i, j: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((BH, Tqp, dp), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, dp), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * BH * Tqp * Tkp * dp,
+            bytes_accessed=BH * (Tqp * dp + 2 * Tkp * dp + 2 * Tqp * dp),
+            transcendentals=BH * Tqp * Tkp),
+        interpret=interpret,
+    )(ls, vs, q_int8, k_int8, v_int8)
+    return out[:, :Tq, :d]
+
+
+def int8qkv_mha(q, k, v, scale=None, bq=512, bk=512,
+                out_dtype=jnp.bfloat16, interpret=False):
+    """[B, T, h, d] wrapper: dynamic-sym-quantize q/k/v, fully-int8
+    flash (both MXU matmuls int8). The deploy default for large-T
+    self-attention (SDXL-1024's T=4096 levels) on the int8 path —
+    ~2x MXU throughput over the bf16 flash kernel."""
+    B, Tq, h, d = q.shape
+    Tk = k.shape[1]
+    if scale is None:
+        scale = d ** -0.5
+    qi, sq = quantize_sym_dynamic(q)
+    ki, sk = quantize_sym_dynamic(k)
+    vi, sv = quantize_sym_dynamic(v)
+    qf = qi.transpose(0, 2, 1, 3).reshape(B * h, Tq, d)
+    kf = ki.transpose(0, 2, 1, 3).reshape(B * h, Tk, d)
+    vf = vi.transpose(0, 2, 1, 3).reshape(B * h, Tk, d)
+    o = int8qkv_flash_attention(qf, kf, vf, sq * sk * scale, sv,
+                                bq=bq, bk=bk, out_dtype=out_dtype,
+                                interpret=interpret)
+    return o.reshape(B, h, Tq, d).transpose(0, 2, 1, 3)
+
+
 def quantize_sym_dynamic(x: jnp.ndarray):
     """Dynamic per-tensor symmetric int8 quantization: returns (codes,
     scale). Used for the real-quant attention path — q/k scales are

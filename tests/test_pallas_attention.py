@@ -54,6 +54,29 @@ def test_int8_flash_attention():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=0.05)
 
 
+def test_int8qkv_flash_attention():
+    """Fully-int8 flash (QK^T AND P@V on the int8 path) vs the fp
+    reference: probs are 7-bit quantized, v per-tensor symmetric —
+    error budget mirrors the reference's softmax/v act quantizers
+    (quant_block.py:213-233)."""
+    from mixdq_tpu.ops.pallas_attention import int8qkv_mha
+
+    rng = np.random.RandomState(4)
+    B, h, Tq, Tk, d = 1, 2, 256, 384, 64
+    q = jnp.asarray(rng.randn(B, Tq, h, d), jnp.float32)
+    k = jnp.asarray(rng.randn(B, Tk, h, d), jnp.float32)
+    v = jnp.asarray(rng.randn(B, Tk, h, d), jnp.float32)
+    got = int8qkv_mha(q, k, v, bq=128, bk=128, out_dtype=jnp.float32,
+                      interpret=True)
+    want = _ref_mha(q, k, v, d ** -0.5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=0.08)
+    # SQNR sanity: the full-int8 path must stay well above 20 dB
+    err = np.asarray(got) - np.asarray(want)
+    sqnr = 10 * np.log10(np.mean(np.asarray(want) ** 2) /
+                         max(np.mean(err ** 2), 1e-20))
+    assert sqnr > 22.0, sqnr
+
+
 def test_quantize_sym_dynamic_roundtrip():
     x = jnp.asarray(np.random.RandomState(3).randn(64, 32), jnp.float32)
     codes, s = quantize_sym_dynamic(x)

@@ -89,8 +89,13 @@ def test_conv_fits_vmem_gate():
 
     assert conv_fits_vmem(64, 64, 1280, 1280)    # SDXL levels all fit
     assert conv_fits_vmem(128, 128, 512, 512)    # VAE 128x128 (bc ladder)
-    assert not conv_fits_vmem(512, 512, 128, 128)  # VAE 512x512 level
-    assert not conv_fits_vmem(512, 512, 256, 128)
+    # VAE 512x512 levels fit via the strip plan (r5; they were XLA
+    # fallbacks before — 10 TOP/s integer convs, DESIGN_NOTES r5)
+    assert conv_fits_vmem(512, 512, 128, 128)
+    assert conv_fits_vmem(512, 512, 256, 128)
+    # un-plannable: min-height strips of a very wide image with a C that
+    # has no lane-aligned divisor still blow the budget
+    assert not conv_fits_vmem(512, 2048, 936, 128)
 
 
 def test_fit_config_bounds_block_set():
@@ -134,8 +139,8 @@ def test_oversized_conv_raises_without_gate():
 
     from mixdq_tpu.ops.pallas_qconv import qconv2d_pallas
 
-    x = jnp.zeros((1, 512, 512, 128), jnp.int8)
-    w = jnp.zeros((3, 3, 128, 128), jnp.int8)
+    x = jnp.zeros((1, 512, 2048, 936), jnp.int8)
+    w = jnp.zeros((3, 3, 936, 128), jnp.int8)
     s = jnp.ones((128,), jnp.float32)
     b0 = jnp.zeros((128,), jnp.float32)
     with pytest.raises(ValueError, match="conv_fits_vmem"):
