@@ -283,12 +283,22 @@ class Attention(nn.Module):
                 kv_input = hidden_states = materialize_ln_codes(
                     hidden_states, ln)
                 ln = None
-            y = deploy_linear(kv_input, dp_f, rc, self.dtype)
+            bank_y = (ctx.cross_kv.get(fused_name)
+                      if (is_cross and rc == "int8"
+                          and ctx.cross_kv is not None) else None)
+            if bank_y is not None:
+                # hoisted level-batched k/v projection (one einsum per
+                # channel group at the UNet top instead of ~70 per-layer
+                # GEMMs) — BoS protection already applied in the bank
+                y = bank_y
+            else:
+                y = deploy_linear(kv_input, dp_f, rc, self.dtype)
             # BoS protection on cross-attn k/v (quant_block.py:585-625):
             # FP (precomputed or dequantized-weight) first-token output.
             # Weight-only 'dequant' compute doesn't quantize acts, so the
             # BoS token needs no protection there (mirrors QDense).
-            if (is_cross and ctx.bos_aware and kv_input.ndim >= 3
+            if (bank_y is None
+                    and is_cross and ctx.bos_aware and kv_input.ndim >= 3
                     and rc not in ("dequant", "pallas_dequant")):
                 if dp_f.bos_out is not None:
                     y0 = jnp.broadcast_to(
@@ -466,16 +476,22 @@ class Attention(nn.Module):
             # the XLA einsum chain only when the logits matrix is large
             # (T=4096: 1.28x; T<=1024: 0.8-1.0x — d=64 pads to 128 lanes)
             impl = "flash" if Tq * Tk >= 2**22 else "einsum"
-            # int8 deploy path, large-T SELF-attention: run both flash
-            # matmuls on the int8 MXU (dynamic per-tensor q/k/v quant —
-            # the deploy analogue of the reference's q/k/v/softmax act
-            # quantizers, quant_block.py:213-233). Cross-attn keeps bf16:
-            # its BoS text token's magnitude would poison a per-tensor
-            # dynamic scale (the very problem BoS protection exists for).
-            # MIXDQ_INT8_FLASH: "1" full-int8 (default) / "qk" QK^T-only
-            # / "0" bf16 flash — trace-time A/B knob.
+            # int8 deploy path, large-T SELF-attention: optionally run the
+            # flash matmuls on the int8 MXU (dynamic per-tensor q/k/v
+            # quant — the deploy analogue of the reference's q/k/v/softmax
+            # act quantizers, quant_block.py:213-233). Cross-attn keeps
+            # bf16: its BoS text token's magnitude would poison a
+            # per-tensor dynamic scale (the very problem BoS protection
+            # exists for). MEASURED NEUTRAL-TO-NEGATIVE at SDXL-1024
+            # (bench_logs/r5_flash_ab_1024.txt, interleaved 5-round
+            # medians: bf16 45.48 ms/step, int8qk 45.81, int8qkv 46.05;
+            # UNet-output SQNR identical at 23.8 dB) — the T=4096 flash
+            # kernel is softmax/VPU-bound, not MXU-bound, so int8 math
+            # buys nothing and pays its re-quantize overhead. Default is
+            # therefore bf16; MIXDQ_INT8_FLASH: "1" full-int8 / "qk"
+            # QK^T-only / "0" bf16 flash (default) — trace-time A/B knob.
             if impl == "flash" and ctx.mode == "int8" and not is_cross:
-                knob = os.environ.get("MIXDQ_INT8_FLASH", "1").strip()
+                knob = os.environ.get("MIXDQ_INT8_FLASH", "0").strip()
                 if knob == "1":
                     impl = "int8qkv_flash"
                 elif knob == "qk":

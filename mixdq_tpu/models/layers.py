@@ -212,6 +212,15 @@ class QDense(nn.Module):
                 assert not (bos_aware and ctx.bos_aware), name
             else:
                 x = x.astype(self.dtype)
+            if (ctx.linear_bank is not None and not pre_codes
+                    and geglu_out is None
+                    and not (bos_aware and ctx.bos_aware)
+                    and name in ctx.linear_bank):
+                # hoisted shared-input bank (deploy.precompute_linear_bank):
+                # this layer's int8 GEMM already ran level-batched at the
+                # UNet top; only the fp bias remains
+                y = ctx.linear_bank[name]
+                return y if bias is None else y + bias.astype(self.dtype)
             if geglu_out is not None:
                 from ..ops import pallas_mode
                 from ..ops.pallas_qmatmul import geglu_qmatmul

@@ -275,6 +275,21 @@ class UNet2DConditionModel(nn.Module):
         # 3. input conv
         sample = sample.astype(self.dtype)
         encoder_hidden_states = encoder_hidden_states.astype(self.dtype)
+        if ctx.mode == "int8" and ctx.deploy is not None:
+            from ..quant.deploy import (precompute_cross_kv,
+                                        precompute_linear_bank)
+
+            if ctx.fuse_qkv:
+                bank = precompute_cross_kv(encoder_hidden_states, ctx,
+                                           self.dtype)
+                if bank:
+                    ctx = ctx.replace(cross_kv=bank)
+            # time_emb_proj bank: every resnet's projection consumes the
+            # same silu(emb) (the per-resnet nn.silu(temb) CSEs with this)
+            tb = precompute_linear_bank(nn.silu(emb), ctx, self.dtype,
+                                        ".time_emb_proj")
+            if tb:
+                ctx = ctx.replace(linear_bank=tb)
         h = QConv(cfg.block_out_channels[0], (3, 3), padding=1,
                   dtype=self.dtype, name="conv_in")(sample, ctx)
 

@@ -450,3 +450,173 @@ def deployed_params(variables, ctx: QuantCtx):
     """Prune fp kernels of deployed layers from the variables tree."""
     return {**variables,
             "params": prune_deployed_kernels(variables["params"], ctx.deploy)}
+
+
+def precompute_cross_kv(ehs, ctx, dtype):
+    """Hoist + level-batch every cross-attn fused k/v projection.
+
+    All ``*.attn2.to_kv`` deploy entries consume the SAME
+    ``encoder_hidden_states`` tensor, so instead of ~70 per-layer
+    [T=77, K] int8 GEMMs (each with its own act-quantize pass and its own
+    ~20-35 us dispatch), the whole set runs as one batched quantize + one
+    batched ``lbtk,lkn->lbtn`` int8 einsum per (K, N, a_bits) group, at
+    the top of the UNet forward. The per-layer math is unchanged — each
+    layer keeps its own calibrated ``scale_inv``/``zp_shifted`` codes,
+    its own per-column ``scale``/``bias0`` epilogue, and its own BoS
+    first-token protection (precomputed ``bos_out`` or the FP
+    dequantized-weight fallback, mirroring models/attention.py) — so the
+    bank output is numerically identical to the per-layer path.
+
+    This generalizes the reference's ``bos_pre_computed.pt`` trick
+    (nn/Linear.py:178-194 caches ONE token per layer): on TPU the whole
+    k/v projection is loop-invariant per prompt, and XLA additionally
+    hoists the bank out of the ``lax.scan`` sampler loop because its only
+    inputs (ehs, weights) are loop constants — multi-step samplers pay
+    for it once.
+
+    Returns ``{fused_name: [B, T, 2C]}`` or None when the bank does not
+    apply (non-int8 mode, no fused entries, small-M hybrid active, or
+    ``MIXDQ_CROSS_KV=0``).
+    """
+    import os
+
+    if os.environ.get("MIXDQ_CROSS_KV", "1").strip() == "0":
+        return None
+    if (ctx.mode != "int8" or not ctx.deploy or not ctx.fuse_qkv
+            or ctx.dequant_small_m
+            or ctx.deploy_compute not in ("int8", "int8_sec")
+            or ehs.ndim != 3):
+        return None
+    from ..ops import qops
+
+    entries = {}
+    for name, e in ctx.deploy.items():
+        if not name.endswith(".attn2.to_kv"):
+            continue
+        if (e.kind != "linear" or e.act_off or e.scale_inv is None
+                or e.split):
+            continue
+        w = e.w_int
+        if w is None and e.w_packed is not None:
+            # trace-time nibble unpack; loop-invariant, XLA hoists it out
+            # of the sampler scan (same as deploy_linear's hoist)
+            lo = (e.w_packed & 0xF).astype(jnp.int8) - 8
+            hi = (e.w_packed >> 4).astype(jnp.int8) - 8
+            w = jnp.concatenate([lo, hi], axis=0)
+        if w is None or w.shape[0] != ehs.shape[-1]:
+            continue
+        if w.dtype != jnp.int8:
+            w = w.astype(jnp.int8)  # int4-stored W4 entries
+        entries[name] = (e, w)
+    if not entries:
+        return None
+
+    groups: Dict[Tuple[int, int, int], list] = {}
+    for name, (e, w) in entries.items():
+        groups.setdefault((w.shape[0], w.shape[1], e.a_bits), []).append(
+            (name, e, w))
+
+    bank = {}
+    x32 = ehs.astype(jnp.float32)
+    for (K, N, a_bits), members in sorted(groups.items()):
+        names = [m[0] for m in members]
+        es = [m[1] for m in members]
+        w_bank = jnp.stack([m[2] for m in members])  # [L, K, N] int8
+        sinv = jnp.stack([e.scale_inv for e in es]).reshape(-1, 1, 1, 1)
+        zp = jnp.stack([e.zp_shifted for e in es]).reshape(-1, 1, 1, 1)
+        scale = jnp.stack([e.scale for e in es])[:, None, None, :]
+        bias0 = jnp.stack([e.bias0 for e in es])[:, None, None, :]
+        lo, hi = qops.act_clip_range(a_bits)
+        codes = jnp.clip(jnp.round(x32[None] * sinv) + zp, lo, hi
+                         ).astype(jnp.int8)  # [L, B, T, K]
+        acc = jnp.einsum("lbtk,lkn->lbtn", codes, w_bank,
+                         preferred_element_type=jnp.int32)
+        y = ((acc - bias0).astype(jnp.float32) * scale).astype(dtype)
+        if ctx.bos_aware:
+            # batched FP first-token fallback: y0 = ehs[:, :1] @ (W * s_w)
+            w_delta = (jnp.stack([e.scale for e in es])
+                       * jnp.stack([e.scale_inv for e in es]
+                                   ).reshape(-1, 1))  # [L, N] = s_w
+            w_fp = w_bank.astype(jnp.float32) * w_delta[:, None, :]
+            y0_dq = jnp.einsum("btk,lkn->lbtn", x32[:, :1, :], w_fp)
+            y0 = jnp.stack([
+                (jnp.broadcast_to(e.bos_out[None].astype(jnp.float32),
+                                  (ehs.shape[0], 1, N))
+                 if e.bos_out is not None else y0_dq[i])
+                for i, e in enumerate(es)])
+            y = jnp.concatenate([y0.astype(dtype), y[..., 1:, :]], axis=-2)
+        for i, name in enumerate(names):
+            bank[name] = y[i]
+    return bank
+
+
+def precompute_linear_bank(x, ctx, dtype, suffix=".time_emb_proj"):
+    """Hoist + batch every deployed linear whose name ends with ``suffix``
+    and whose input is the SAME tensor ``x`` (shape ``[B, K]``).
+
+    The time-embedding projections are the motivating case: all ~60
+    ``*.time_emb_proj`` layers consume the one ``silu(emb)`` vector, each
+    as an M=1 int8 GEMM with its own act-quantize — pure per-op dispatch
+    overhead at B=1. The bank runs one batched quantize + one
+    ``lbk,lkn->lbn`` int8 einsum per (K, N, a_bits) group at the UNet
+    top; per-layer scales/bias0 stack, so the math is identical to the
+    per-layer ``deploy_linear`` path (QDense adds the fp bias after,
+    exactly as before). No BoS handling (2-D inputs have no token axis).
+
+    Returns ``{name: [B, N]}`` (pre-bias outputs) or None when the bank
+    does not apply. ``MIXDQ_LINEAR_BANK=0`` disables it for A/B runs.
+    """
+    import os
+
+    if os.environ.get("MIXDQ_LINEAR_BANK", "1").strip() == "0":
+        return None
+    if (ctx.mode != "int8" or not ctx.deploy or ctx.dequant_small_m
+            or ctx.deploy_compute not in ("int8", "int8_sec")
+            or x.ndim != 2):
+        return None
+    from ..ops import qops
+
+    entries = {}
+    for name, e in ctx.deploy.items():
+        if not name.endswith(suffix):
+            continue
+        if (e.kind != "linear" or e.act_off or e.scale_inv is None
+                or e.split):
+            continue
+        w = e.w_int
+        if w is None and e.w_packed is not None:
+            lo = (e.w_packed & 0xF).astype(jnp.int8) - 8
+            hi = (e.w_packed >> 4).astype(jnp.int8) - 8
+            w = jnp.concatenate([lo, hi], axis=0)
+        if w is None or w.shape[0] != x.shape[-1]:
+            continue
+        if w.dtype != jnp.int8:
+            w = w.astype(jnp.int8)
+        entries[name] = (e, w)
+    if not entries:
+        return None
+
+    groups: Dict[Tuple[int, int, int], list] = {}
+    for name, (e, w) in entries.items():
+        groups.setdefault((w.shape[0], w.shape[1], e.a_bits), []).append(
+            (name, e, w))
+
+    bank = {}
+    x32 = x.astype(jnp.float32)
+    for (K, N, a_bits), members in sorted(groups.items()):
+        names = [m[0] for m in members]
+        es = [m[1] for m in members]
+        w_bank = jnp.stack([m[2] for m in members])  # [L, K, N] int8
+        sinv = jnp.stack([e.scale_inv for e in es]).reshape(-1, 1, 1)
+        zp = jnp.stack([e.zp_shifted for e in es]).reshape(-1, 1, 1)
+        scale = jnp.stack([e.scale for e in es])[:, None, :]
+        bias0 = jnp.stack([e.bias0 for e in es])[:, None, :]
+        lo, hi = qops.act_clip_range(a_bits)
+        codes = jnp.clip(jnp.round(x32[None] * sinv) + zp, lo, hi
+                         ).astype(jnp.int8)  # [L, B, K]
+        acc = jnp.einsum("lbk,lkn->lbn", codes, w_bank,
+                         preferred_element_type=jnp.int32)
+        y = ((acc - bias0).astype(jnp.float32) * scale).astype(dtype)
+        for i, name in enumerate(names):
+            bank[name] = y[i]
+    return bank

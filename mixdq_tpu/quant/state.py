@@ -256,6 +256,17 @@ class QuantCtx:
     # weight fake-quant uses learned rounding (soft while optimizing —
     # gradients flow to alpha — hard otherwise; base_quantizer.py:74-84)
     alphas: Any = None
+    # Per-step hoisted cross-attention k/v bank {fused_to_kv_name: [B,T,2C]}
+    # built once at the top of the UNet forward (deploy.precompute_cross_kv):
+    # every attn2.to_kv projection consumes the SAME encoder_hidden_states,
+    # so the ~70 tiny [77,K] GEMMs + quantize passes collapse into a few
+    # level-batched int8 einsums. Numerically identical to the per-layer
+    # path (same scales, same int32 accumulation).
+    cross_kv: Any = None
+    # Generic shared-input linear bank {layer_name: [B, N]} for QDense
+    # consumers (today: the ~60 time_emb_proj projections, which all
+    # consume the same silu(emb) vector — deploy.precompute_linear_bank)
+    linear_bank: Any = None
     mode: str = struct.field(pytree_node=False, default="fp")
     # int8-mode compute strategy: 'int8' = integer MXU math with fused
     # dequant epilogue (reference-style); 'dequant' = weight-only: int8

@@ -47,4 +47,9 @@ run r5_bench_final 3000 env MIXDQ_BENCH_ROUNDS=5 python bench.py
 run r5_bench_sd15 3000 env MIXDQ_BENCH_FAMILY=sd15 \
     MIXDQ_BENCH_BACKEND=int8_fq_sec python bench.py
 
+# 7. SDXL-1024 re-measure with the round-5 defaults (bf16 flash +
+#    cross-KV bank); VERDICT #1's done-artifact
+run r5_bench_sdxl1024b 3600 env MIXDQ_BENCH_FAMILY=sdxl \
+    MIXDQ_BENCH_BACKEND=int8_fq_sec python bench.py
+
 echo "r5 queue done" | tee -a bench_logs/r5_queue.log
