@@ -476,11 +476,20 @@ def precompute_cross_kv(ehs, ctx, dtype):
 
     Returns ``{fused_name: [B, T, 2C]}`` or None when the bank does not
     apply (non-int8 mode, no fused entries, small-M hybrid active, or
-    ``MIXDQ_CROSS_KV=0``).
+    ``MIXDQ_CROSS_KV`` unset/0).
+
+    MEASURED NEUTRAL-TO-NEGATIVE at SDXL-Turbo 512 B=1 (interleaved
+    4-variant A/B, bench_logs/r5_bank_ab.txt: bank 9.09 ms/step vs
+    per-layer 8.98): XLA's while-loop LICM already hoists the
+    loop-invariant per-layer projections out of the sampler scan, so the
+    bank removes nothing from the steady-state loop and its stacked
+    output adds slice copies feeding the whole-block attention kernels.
+    Default is therefore OFF; the knob stays for single-step serving
+    A/Bs where no scan exists to hoist into.
     """
     import os
 
-    if os.environ.get("MIXDQ_CROSS_KV", "1").strip() == "0":
+    if os.environ.get("MIXDQ_CROSS_KV", "0").strip() != "1":
         return None
     if (ctx.mode != "int8" or not ctx.deploy or not ctx.fuse_qkv
             or ctx.dequant_small_m

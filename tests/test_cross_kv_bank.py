@@ -73,7 +73,11 @@ def _forward_both(unet, qp, ctx, inputs):
 def test_bank_matches_per_layer_path(bos_aware):
     unet, qp, ctx, inputs = _deploy_setup(bos_aware)
     _, _, ehs, _ = inputs
-    bank = precompute_cross_kv(ehs, ctx, jnp.float32)
+    os.environ["MIXDQ_CROSS_KV"] = "1"
+    try:
+        bank = precompute_cross_kv(ehs, ctx, jnp.float32)
+    finally:
+        os.environ.pop("MIXDQ_CROSS_KV", None)
     kv_names = [n for n in ctx.deploy if n.endswith(".attn2.to_kv")]
     assert kv_names, "tiny-sdxl deploy must produce fused to_kv entries"
     assert bank is not None and sorted(bank) == sorted(kv_names)
@@ -88,25 +92,31 @@ def test_bank_matches_per_layer_path_packed_w4():
     unet, qp, ctx, inputs = _deploy_setup(bos_aware=True, pack_w4=True,
                                           w_bits=4)
     _, _, ehs, _ = inputs
-    bank = precompute_cross_kv(ehs, ctx, jnp.float32)
+    os.environ["MIXDQ_CROSS_KV"] = "1"
+    try:
+        bank = precompute_cross_kv(ehs, ctx, jnp.float32)
+    finally:
+        os.environ.pop("MIXDQ_CROSS_KV", None)
     assert bank is not None and bank
     y_bank, y_ref = _forward_both(unet, qp, ctx, inputs)
     np.testing.assert_allclose(y_bank, y_ref, rtol=0, atol=0)
 
 
 def test_bank_disabled_paths():
-    """The bank must bail (return None) outside its domain."""
+    """The bank must bail (return None) outside its domain — and is
+    OFF by default (measured neutral-to-negative, r5_bank_ab.txt)."""
     unet, qp, ctx, inputs = _deploy_setup(bos_aware=False)
     _, _, ehs, _ = inputs
-    assert precompute_cross_kv(ehs, ctx.replace(mode="fake"),
-                               jnp.float32) is None
-    assert precompute_cross_kv(
-        ehs, ctx.replace(deploy_compute="dequant"), jnp.float32) is None
-    assert precompute_cross_kv(
-        ehs, ctx.replace(dequant_small_m=256), jnp.float32) is None
-    os.environ["MIXDQ_CROSS_KV"] = "0"
+    assert precompute_cross_kv(ehs, ctx, jnp.float32) is None  # default off
+    os.environ["MIXDQ_CROSS_KV"] = "1"
     try:
-        assert precompute_cross_kv(ehs, ctx, jnp.float32) is None
+        assert precompute_cross_kv(ehs, ctx.replace(mode="fake"),
+                                   jnp.float32) is None
+        assert precompute_cross_kv(
+            ehs, ctx.replace(deploy_compute="dequant"), jnp.float32) is None
+        assert precompute_cross_kv(
+            ehs, ctx.replace(dequant_small_m=256), jnp.float32) is None
+        assert precompute_cross_kv(ehs, ctx, jnp.float32) is not None
     finally:
         os.environ.pop("MIXDQ_CROSS_KV", None)
 
