@@ -230,11 +230,18 @@ class QDense(nn.Module):
                     x, dp.scale_inv, dp.zp_shifted,
                     *act_clip_range(dp.a_bits)))
                 lead = codes.shape[:-1]
+                import os
+
+                # MIXDQ_GEGLU_GATE: trace-time A/B knob for the in-kernel
+                # gate ('tanh' default / 'sigmoid' cheaper VPU chain /
+                # 'none' latency probe); unset follows ctx.gelu
+                gate = (os.environ.get("MIXDQ_GEGLU_GATE", "").strip()
+                        or ("tanh" if ctx.gelu == "tanh" else "exact"))
                 out = geglu_qmatmul(
                     codes.reshape(-1, codes.shape[-1]), dp.w_int, dp.scale,
                     dp.bias0, geglu_out.scale_inv, geglu_out.zp_shifted,
                     bias=None if bias is None else bias.astype(jnp.float32),
-                    gelu_tanh=(ctx.gelu == "tanh"),
+                    gelu_tanh=(ctx.gelu == "tanh"), gate_mode=gate,
                     clip=act_clip_range(geglu_out.a_bits),
                     interpret=pallas_mode()[1])
                 return out.reshape(*lead, out.shape[-1])

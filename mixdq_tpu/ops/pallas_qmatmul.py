@@ -292,7 +292,7 @@ def qmatmul_fused2(
 
 
 def _geglu_codes(x, wv_ref, wg_ref, qc_ref, sv_ref, b0v_ref, sg_ref,
-                 b0g_ref, bv_ref, bg_ref, *, gelu_tanh):
+                 b0g_ref, bv_ref, bg_ref, *, gelu_tanh, gate_mode="tanh"):
     """Both GEMM halves of one GEGLU output block (value columns j, gate
     columns H+j), dequant epilogues, the gate ``v * gelu(g)``, and the
     DOWNSTREAM (ff.net.2) layer's act-quantize. Returns the s8 codes.
@@ -308,13 +308,25 @@ def _geglu_codes(x, wv_ref, wg_ref, qc_ref, sv_ref, b0v_ref, sg_ref,
     if bv_ref is not None:
         v = v + bv_ref[:]
         g = g + bg_ref[:]
-    y = v * jax.nn.gelu(g, approximate=gelu_tanh)
+    # gate_mode (trace-time knob MIXDQ_GEGLU_GATE, models/layers.py):
+    # 'tanh'/'exact' = the two gelu forms (ctx.gelu semantics);
+    # 'sigmoid' = x*sigmoid(1.702x) (cheaper VPU chain, ~2e-2 max abs
+    # deviation from tanh-gelu); 'none' = identity gate — a LATENCY
+    # PROBE ONLY (wrong math) to attribute the kernel's VPU epilogue cost
+    if gate_mode == "none":
+        act = g
+    elif gate_mode == "sigmoid":
+        act = g * jax.nn.sigmoid(1.702 * g)
+    else:
+        act = jax.nn.gelu(g, approximate=gelu_tanh)
+    y = v * act
     codes = jnp.round(y * qc_ref[0]) + qc_ref[1]
     return jnp.clip(codes, qc_ref[2], qc_ref[3]).astype(jnp.int8)
 
 
 def _geglu_kernel(x_ref, wv_ref, wg_ref, qc_ref, sv_ref, b0v_ref, sg_ref,
-                  b0g_ref, bv_ref, bg_ref, o_ref, *, gelu_tanh):
+                  b0g_ref, bv_ref, bg_ref, o_ref, *, gelu_tanh,
+                  gate_mode="tanh"):
     """One grid step emits one block of the consumer's int8 act codes.
     The [M, 2H] bf16 projection output never exists: the unfused path
     writes it (5.2 MB at the 256-token level), re-reads it in the
@@ -323,18 +335,20 @@ def _geglu_kernel(x_ref, wv_ref, wg_ref, qc_ref, sv_ref, b0v_ref, sg_ref,
     quantizer (SMEM)."""
     o_ref[:] = _geglu_codes(x_ref[:], wv_ref, wg_ref, qc_ref, sv_ref,
                             b0v_ref, sg_ref, b0g_ref, bv_ref, bg_ref,
-                            gelu_tanh=gelu_tanh)
+                            gelu_tanh=gelu_tanh, gate_mode=gate_mode)
 
 
 def _geglu_kernel_nobias(x_ref, wv_ref, wg_ref, qc_ref, sv_ref, b0v_ref,
-                         sg_ref, b0g_ref, o_ref, *, gelu_tanh):
+                         sg_ref, b0g_ref, o_ref, *, gelu_tanh,
+                         gate_mode="tanh"):
     _geglu_kernel(x_ref, wv_ref, wg_ref, qc_ref, sv_ref, b0v_ref, sg_ref,
-                  b0g_ref, None, None, o_ref, gelu_tanh=gelu_tanh)
+                  b0g_ref, None, None, o_ref, gelu_tanh=gelu_tanh,
+                  gate_mode=gate_mode)
 
 
 @functools.partial(jax.jit, static_argnames=("bm", "bn", "out_dtype",
-                                             "gelu_tanh", "clip",
-                                             "interpret"))
+                                             "gelu_tanh", "gate_mode",
+                                             "clip", "interpret"))
 def geglu_qmatmul(
     x_int8: jnp.ndarray,  # [M, K] int8 codes of the proj layer
     w_int8: jnp.ndarray,  # [K, 2H] int8 (value cols [:H], gate cols [H:])
@@ -346,6 +360,7 @@ def geglu_qmatmul(
     bm: int = 0,
     bn: int = 0,
     gelu_tanh: bool = True,
+    gate_mode: str = "tanh",
     clip: tuple = (-128.0, 127.0),
     out_dtype=jnp.int8,
     interpret: bool = False,
@@ -409,9 +424,11 @@ def geglu_qmatmul(
     if bias is not None:
         in_specs += [vspec(0), vspec(nj)]
         args += [bias.reshape(1, -1), bias.reshape(1, -1)]
-        kern = functools.partial(_geglu_kernel, gelu_tanh=gelu_tanh)
+        kern = functools.partial(_geglu_kernel, gelu_tanh=gelu_tanh,
+                                 gate_mode=gate_mode)
     else:
-        kern = functools.partial(_geglu_kernel_nobias, gelu_tanh=gelu_tanh)
+        kern = functools.partial(_geglu_kernel_nobias,
+                                 gelu_tanh=gelu_tanh, gate_mode=gate_mode)
 
     out = pl.pallas_call(
         kern,
