@@ -37,7 +37,7 @@ def _round_up(x, m):
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
-                  *, scale, kv_len, bk):
+                  *, scale, kv_len, bk, needs_mask):
     """Grid (B*h, Tq/bq, Tk/bk); online softmax over the innermost kv axis."""
     j = pl.program_id(2)
     nj = pl.num_programs(2)
@@ -54,9 +54,13 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
                             preferred_element_type=jnp.float32)
     s = s * scale  # [bq, bk]
 
-    # mask kv padding (e.g. 77 text tokens in a 128 tile)
-    kv_pos = j * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    s = jnp.where(kv_pos < kv_len, s, _NEG_INF)
+    if needs_mask:
+        # mask kv padding (e.g. 77 text tokens in a 128 tile). Static
+        # skip when Tk is tile-aligned: at T=4096 the iota+compare+select
+        # over every [bq, bk] f32 block is pure VPU waste (the kernel is
+        # softmax/VPU-bound — r5_flash_ab_1024.txt).
+        kv_pos = j * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(kv_pos < kv_len, s, _NEG_INF)
 
     m_prev = m_ref[:]  # [bq, 1]
     m_cur = jnp.max(s, axis=1, keepdims=True)
@@ -100,7 +104,8 @@ def flash_attention(
 
     grid = (BH, Tqp // bq, Tkp // bk)
     out = pl.pallas_call(
-        functools.partial(_flash_kernel, scale=scale, kv_len=Tk, bk=bk),
+        functools.partial(_flash_kernel, scale=scale, kv_len=Tk, bk=bk,
+                          needs_mask=Tkp != Tk),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, bq, dp), lambda b, i, j: (b, i, 0),
@@ -128,7 +133,15 @@ def flash_attention(
 
 
 def mha(q, k, v, scale=None, bq=512, bk=512, interpret=False):
-    """[B, T, h, d] convenience wrapper (transposes through [B*h, T, d])."""
+    """[B, T, h, d] convenience wrapper (transposes through [B*h, T, d]).
+
+    ``MIXDQ_FLASH_BQ``/``MIXDQ_FLASH_BK`` override the block sizes at
+    trace time (tune A/B knobs: larger bk = fewer online-softmax
+    rescale passes on the VPU-bound large-T shapes)."""
+    import os
+
+    bq = int(os.environ.get("MIXDQ_FLASH_BQ", bq))
+    bk = int(os.environ.get("MIXDQ_FLASH_BK", bk))
     B, Tq, h, d = q.shape
     Tk = k.shape[1]
     if scale is None:
