@@ -592,7 +592,12 @@ class GEGLU(nn.Module):
         h = QDense(self.inner_dim * 2, dtype=self.dtype, name="proj")(x, ctx)
         h, gate = jnp.split(h, 2, axis=-1)
         # tanh-approx by default (ctx.gelu): exact erf gelu lowers to a
-        # ~35-op f32 erfc polynomial on TPU — see QuantCtx.gelu
+        # ~35-op f32 erfc polynomial on TPU — see QuantCtx.gelu.
+        # 'sigmoid' = x*sigmoid(1.702x), the shortest VPU chain (kept
+        # available on the sim path so a sigmoid-gated deploy kernel can
+        # stay sim/deploy-matched).
+        if ctx.gelu == "sigmoid":
+            return h * (gate * nn.sigmoid(1.702 * gate))
         return h * nn.gelu(gate, approximate=(ctx.gelu == "tanh"))
 
 

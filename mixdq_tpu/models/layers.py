@@ -241,6 +241,8 @@ class QDense(nn.Module):
                     codes.reshape(-1, codes.shape[-1]), dp.w_int, dp.scale,
                     dp.bias0, geglu_out.scale_inv, geglu_out.zp_shifted,
                     bias=None if bias is None else bias.astype(jnp.float32),
+                    bm=int(os.environ.get("MIXDQ_GEGLU_BM", "0")),
+                    bn=int(os.environ.get("MIXDQ_GEGLU_BN", "0")),
                     gelu_tanh=(ctx.gelu == "tanh"), gate_mode=gate,
                     clip=act_clip_range(geglu_out.a_bits),
                     interpret=pallas_mode()[1])
