@@ -103,14 +103,26 @@ def _block_vmem(bp, bk, bc, Q, Wp, HpWp, kh, kw, nc, has_res):
     """Bytes of VMEM one grid step holds resident: image block (x2 when
     the C-grid or K-grid revisits it), double-buffered weight block, the
     int32 accumulator scratch, the per-tap int32 dot transient, and the
-    double-buffered output (+residual) blocks."""
-    v = 2 * HpWp * bc                 # image block (+prefetch twin)
-    v += 2 * kh * kw * bc * bk        # weight block, double-buffered
-    v += 4 * bp * Q * bk              # int32 accumulator scratch
-    v += 4 * bp * Wp * bk             # per-tap dot transient
-    v += 2 * 2 * bp * Q * bk          # bf16 out block, double-buffered
+    double-buffered output (+residual) blocks.
+
+    All dims are modeled at their MOSAIC TILE-PADDED sizes: VMEM arrays
+    tile (8, 128), so a lane (last) dim pads up to 128 and a sublane dim
+    to 8. Budgeting the logical sizes under-counted small-K convs by the
+    lane ratio — the VAE decoder's 512x512x128->3 conv_out planned
+    bp=32/bk=3 whose PADDED acc+transient stack is 16.9 MB (the r5
+    scoped-VMEM OOM, bench_logs/r5_serve_sd15_qvae.err: 16.38M > 16M);
+    with padding modeled the planner lands on bp=8, which compiles."""
+    bk_l = _round_up(bk, 128)  # lane padding (last dim of w/acc/out)
+    bc_l = _round_up(bc, 128)  # lane padding (last dim of image block)
+    bc_s = _round_up(bc, 8)    # sublane padding (w block dim -2)
+    Q_s = _round_up(Q, 8)      # sublane padding (acc/out dim -2)
+    v = 2 * HpWp * bc_l               # image block (+prefetch twin)
+    v += 2 * kh * kw * bc_s * bk_l    # weight block, double-buffered
+    v += 4 * bp * Q_s * bk_l          # int32 accumulator scratch
+    v += 4 * bp * Wp * bk_l           # per-tap dot transient
+    v += 2 * 2 * bp * Q_s * bk_l      # bf16 out block, double-buffered
     if has_res:
-        v += 2 * 2 * bp * Q * bk
+        v += 2 * 2 * bp * Q_s * bk_l
     return v
 
 

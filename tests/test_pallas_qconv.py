@@ -70,15 +70,23 @@ def test_pallas_qconv_strip_plan_matches_whole(monkeypatch):
     want = want + res
 
     # budget sized so the whole 18-row image fails but a 2-strip plan
-    # fits -> _plan_conv must return ns > 1
+    # fits -> _plan_conv must return ns > 1. Derive the threshold from
+    # the (tile-padded) cost model itself so the test tracks it.
     Hp, Wp = H + 2, pq._round_up(W + 2, 8)
     plan = pq._plan_conv(3, 3, H, H, W, Wp, Hp, C, K, True)
     assert plan[0] == 1  # sanity: normally whole-image
-    for budget in (26000, 24000, 22000, 20000, 18000, 16000, 14000):
-        monkeypatch.setattr(pq, "_VMEM_BUDGET", budget)
-        plan = pq._plan_conv(3, 3, H, H, W, Wp, Hp, C, K, True)
-        if plan is not None and plan[0] > 1:
-            break
+
+    def min_cost(ns):
+        Pe = H // ns
+        Hpe = Pe + 2 if ns > 1 else Hp
+        return min(
+            pq._block_vmem(bp, K, C, W, Wp, Hpe * Wp, 3, 3, 1, True)
+            for bp in range(1, Pe + 1) if Pe % bp == 0)
+
+    budget = (min_cost(2) + min_cost(1)) // 2
+    assert min_cost(2) <= budget < min_cost(1)
+    monkeypatch.setattr(pq, "_VMEM_BUDGET", budget)
+    plan = pq._plan_conv(3, 3, H, H, W, Wp, Hp, C, K, True)
     assert plan is not None and plan[0] > 1, plan
     got = pq.qconv2d_pallas(
         jnp.asarray(codes), jnp.asarray(w), jnp.asarray(scale),

@@ -146,3 +146,30 @@ def test_oversized_conv_raises_without_gate():
     with pytest.raises(ValueError, match="conv_fits_vmem"):
         qconv2d_pallas(x, w, s, b0, jnp.asarray(0, jnp.int8),
                        interpret=True)
+
+
+def test_small_k_conv_plans_under_padded_budget():
+    """Mosaic lane-pads blocks to 128 lanes: a K=3 conv's int32
+    acc + dot-transient stack is 42x its logical size. The r5 VAE
+    serving OOM (bench_logs/r5_serve_sd15_qvae.err: 16.38M > 16M at
+    decoder/conv_out, 512x512x128->3, B=4) came from budgeting logical
+    bytes. The planner must now model tile padding and land on a
+    compiling config for every small-K decoder/encoder conv."""
+    from mixdq_tpu.ops import pallas_qconv as pq
+
+    for (H, W, C, K) in [(512, 512, 128, 3),   # VAE decoder conv_out
+                         (512, 512, 3, 128),   # VAE encoder conv_in
+                         (64, 64, 320, 4),     # UNet conv_out
+                         (64, 64, 4, 320)]:    # UNet conv_in
+        Hc, Wc, Cc, kh, kw, ph, pw = pq._conv_geometry(H, W, C, 3, 3)
+        Hp = Hc + 2 * ph
+        Wp = pq._round_up(Wc + 2 * pw, 8)
+        P, Q = Hc + 2 * ph - kh + 1, Wc + 2 * pw - kw + 1
+        plan = pq._plan_conv(kh, kw, Hc, P, Q, Wp, Hp, Cc, K, False)
+        assert plan is not None, (H, W, C, K)
+        ns, (bp, bk, bc) = plan
+        Pe = P // ns
+        Hpe = Pe + kh - 1 if ns > 1 else Hp
+        v = pq._block_vmem(bp, bk, bc, Q, Wp, Hpe * Wp, kh, kw,
+                           Cc // bc, False)
+        assert v <= pq._VMEM_BUDGET, (H, W, C, K, plan, v)
