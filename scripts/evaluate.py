@@ -186,12 +186,15 @@ def main():
                       "act_protect": args.act_protect} if mp else {})}
         return fields, ctx, qp
 
-    entries = []  # (name, fields, ctx, q_params)
-    if args.matrix:
-        for entry in [e.strip() for e in args.matrix.split(",") if e.strip()]:
+    # Deploy builds are DEFERRED to the per-entry loop: each holds
+    # ~2.6 GB of int8 params on device, and building all four matrix
+    # entries up front + the 5 GB fp params exhausted HBM before the
+    # shared FP pass even ran (bench_logs/r5_eval_matrix.err:
+    # RESOURCE_EXHAUSTED at the first key split).
+    def build_entry(entry):
+        if args.matrix:
             fields, ctx, qp = make_deploy(entry)
-            entries.append((entry, fields, ctx, qp))
-    else:
+            return fields, ctx, qp
         ctx = build_quant_ctx(cfg, pipe, params, qparams, args)
         q_params = params
         fields = {"backend": args.backend}
@@ -213,7 +216,10 @@ def main():
             q_params = {**params, "unet": prune_deployed_kernels(
                 params["unet"], ctx.deploy)}
             fields.update(deploy_compute=dc, fuse_qkv=args.fuse_qkv)
-        entries.append((args.backend, fields, ctx, q_params))
+        return fields, ctx, q_params
+
+    entry_names = ([e.strip() for e in args.matrix.split(",") if e.strip()]
+                   if args.matrix else [args.backend])
 
     feat_fns = {}
     if args.clip_vision_ckpt:
@@ -237,7 +243,8 @@ def main():
         fp_batches.append((batch, k, jnp.asarray(fp.images), fp.latents))
     print(f"FP reference: {len(prompts)} images", file=sys.stderr)
 
-    for name, fields, ctx, q_params in entries:
+    for name in entry_names:
+        fields, ctx, q_params = build_entry(name)
         ssims, mses, latent_sqnrs = [], [], []
         fp_feats, q_feats = [], []
         for batch, k, fpi, fp_lat in fp_batches:
@@ -283,6 +290,9 @@ def main():
         with open(out, "w") as f:
             yaml.safe_dump(report, f, sort_keys=False)
         print(f"wrote {out}", flush=True)
+        # free this entry's device-resident int8 deploy params before
+        # the next one builds (HBM holds fp params + ONE deploy at a time)
+        del fields, ctx, q_params
 
 
 if __name__ == "__main__":
