@@ -378,11 +378,16 @@ def geglu_qmatmul(
     H = N2 // 2
     Kp = _round_up(K, 128)
     # measured-best blocks on the SDXL FF shapes (bench_logs/
-    # r4_geglu_tune.txt, interleaved medians): small-M tiles want WIDE
-    # n-blocks (weights stream once, fewer grid steps); large-M wants
-    # tall m-blocks so the weight panels re-stream fewer times.
+    # r4_geglu_tune.txt; revised by the r5 in-model A/B,
+    # bench_logs/r5_geglu_ab.txt): small-M tiles want WIDE n-blocks
+    # (weights stream once, fewer grid steps); M >= 512 wants the WHOLE
+    # M as one tall block so the weight panels stream exactly once —
+    # bm=256 at the M=1024 levels re-streamed weights 4x and cost 2.3%
+    # of the whole UNet step (8.87 vs 9.07 ms). The r5 A/B also killed
+    # two hypotheses: the in-kernel gelu gate is NOT the cost (identity-
+    # gate probe: +0.6%), and the sigmoid form is slower than tanh.
     if not bm:
-        bm = 256 if M <= 1024 else 1024
+        bm = 256 if M <= 256 else 1024
     if not bn:
         bn = 1280 if M <= 256 else 512
     bm = _fit_block(M, bm, 32 if M < 128 else 128)
