@@ -132,12 +132,15 @@ def flash_attention(
     return out[:, :Tq, :d]
 
 
-def mha(q, k, v, scale=None, bq=512, bk=512, interpret=False):
+def mha(q, k, v, scale=None, bq=512, bk=1024, interpret=False):
     """[B, T, h, d] convenience wrapper (transposes through [B*h, T, d]).
 
     ``MIXDQ_FLASH_BQ``/``MIXDQ_FLASH_BK`` override the block sizes at
-    trace time (tune A/B knobs: larger bk = fewer online-softmax
-    rescale passes on the VPU-bound large-T shapes)."""
+    trace time. Default bk=1024 from the r5 interleaved A/B at
+    SDXL-1024 (bench_logs/r5_flashbk_ab.txt): 40.27 vs 44.65 ms/step
+    whole-UNet (+10.9%) — the kernel is VPU-bound and doubling the kv
+    block halves the online-softmax rescale passes (bk=2048: 1.094,
+    bq=256: 1.072 — both worse than bq=512/bk=1024)."""
     import os
 
     bq = int(os.environ.get("MIXDQ_FLASH_BQ", bq))
